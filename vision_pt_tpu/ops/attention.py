@@ -1,0 +1,138 @@
+"""Attention dispatch: one entry point over the XLA and Pallas-flash backends.
+
+TPU-native rebuild of the reference's ``src/modules/attention.py:98-159``
+(``eager``/``sdpa``/``flash_attention_2``/``xformers`` collapse to two TPU
+backends: a fused Pallas flash kernel and an XLA fallback). Matches the
+reference's semantics: fp32 inputs are auto-cast to the attention dtype
+(default bf16), default non-causal, optional key-padding mask.
+
+Layout: **(B, S, H, D)** throughout — no BHSD<->BSHD permutes on the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+from .flash_attention import flash_attention
+
+AttentionImplementation = Literal["auto", "flash", "xla", "eager", "sdpa"]
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def xla_attention(
+    q: jax.Array,  # (B, Sq, H, D)
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None = None,  # bool (B, 1|H, Sq, Sk) or (B, Sk); True = keep
+    kv_lens: jax.Array | None = None,  # (B,) valid key length
+    scale: float | None = None,
+    is_causal: bool = False,
+) -> jax.Array:
+    """Plain XLA softmax attention (the sdpa-equivalent fallback path).
+
+    XLA fuses this into an efficient (if O(S^2) memory) computation; used for
+    CPU tests and as the non-Pallas backend.
+    """
+    batch, sq, heads, dim = q.shape
+    sk = k.shape[1]
+    if scale is None:
+        scale = dim**-0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=logits.dtype)
+    if kv_lens is not None:
+        key_valid = (
+            jnp.arange(sk, dtype=jnp.int32)[None, :] < kv_lens[:, None]
+        )  # (B, Sk)
+        logits = jnp.where(key_valid[:, None, None, :], logits, neg)
+    if mask is not None:
+        if mask.dtype == jnp.bool_:
+            if mask.ndim == 2:  # (B, Sk) key-padding
+                mask = mask[:, None, None, :]
+            logits = jnp.where(mask, logits, neg)
+        else:  # additive bias
+            if mask.ndim == 2:
+                mask = mask[:, None, None, :]
+            logits = logits + mask.astype(logits.dtype)
+    if is_causal:
+        causal = jnp.tril(jnp.ones((sq, sk), dtype=jnp.bool_))
+        logits = jnp.where(causal[None, None], logits, neg)
+
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)
+    return out
+
+
+def dot_product_attention(
+    q: jax.Array,  # (B, Sq, H, D)
+    k: jax.Array,
+    v: jax.Array,
+    mask: jax.Array | None = None,
+    kv_lens: jax.Array | None = None,
+    scale: float | None = None,
+    backend: AttentionImplementation = "auto",
+    attention_dtype: jnp.dtype = jnp.bfloat16,
+    is_causal: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Unified attention entry point (reference ``attention.py:98-159``).
+
+    fp32 q/k/v are cast to ``attention_dtype`` (reference ``:113-118``); output
+    comes back in the (possibly cast) compute dtype. ``mask`` follows the XLA
+    path only; the flash path takes ``kv_lens`` (suffix key padding) — a
+    capability the reference's flash backend lacks outright.
+    """
+    assert q.ndim == k.ndim == v.ndim == 4
+    orig_dtype = q.dtype
+    if q.dtype == jnp.float32 and attention_dtype is not None:
+        q = q.astype(attention_dtype)
+        k = k.astype(attention_dtype)
+        v = v.astype(attention_dtype)
+
+    if backend in ("eager", "sdpa"):
+        backend = "xla"
+    if backend == "auto":
+        flash_ok = (
+            mask is None
+            and q.shape[-1] % 64 == 0
+            and (_on_tpu() or interpret)
+        )
+        backend = "flash" if flash_ok else "xla"
+
+    if backend == "flash":
+        if mask is not None:
+            raise ValueError(
+                "flash backend takes kv_lens (suffix padding), not a full mask"
+            )
+        out = flash_attention(
+            q,
+            k,
+            v,
+            kv_lens=kv_lens,
+            scale=scale,
+            causal=is_causal,
+            interpret=interpret or not _on_tpu(),
+        )
+    elif backend == "xla":
+        out = xla_attention(
+            q, k, v, mask=mask, kv_lens=kv_lens, scale=scale, is_causal=is_causal
+        )
+    else:
+        raise ValueError(f"Unknown backend: {backend}")
+    return out.astype(orig_dtype) if orig_dtype != out.dtype else out
+
+
+def get_attn_implementation_label(use_flash_attention: bool) -> str:
+    """Reference ``attention.py:162-170`` parity shim (for HF model kwargs)."""
+    return "flash_attention_2" if use_flash_attention else "sdpa"
