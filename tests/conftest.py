@@ -6,7 +6,9 @@ of conftest (pytest imports it before any test module).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment exports JAX_PLATFORMS=axon (real TPU); tests must run on a
+# virtual CPU mesh, so override unconditionally.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,129 @@
+"""Numerical parity against the PyTorch reference implementation.
+
+Loads the reference JiT (mounted read-only at /root/reference) with CUDA deps
+stubbed, copies its randomly-initialized weights into our JAX model via the
+checkpoint converter, and compares forward outputs on identical inputs.
+Skipped when the reference tree isn't present.
+"""
+
+import importlib.machinery
+import os
+import sys
+from unittest.mock import MagicMock
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "src")),
+    reason="reference repo not mounted",
+)
+
+
+@pytest.fixture(scope="module")
+def reference_modules():
+    for m in [
+        "bitsandbytes", "bitsandbytes.nn", "bitsandbytes.functional",
+        "torchao", "torchao.dtypes", "torchao.dtypes.nf4tensor", "torchao.float8",
+        "optimum", "optimum.quanto", "flash_attn", "xformers", "xformers.ops",
+    ]:
+        mod = MagicMock()
+        mod.__spec__ = importlib.machinery.ModuleSpec(m, None)
+        sys.modules.setdefault(m, mod)
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import functools
+
+    import torch
+    import src.models.jit.denoiser as tden
+    import src.modules.attention as tattn
+    from src.models.jit.config import DenoiserConfig as TorchDenoiserConfig
+    from src.models.jit.denoiser import Denoiser as TorchDenoiser
+
+    # fp32 attention on both sides for exact comparison
+    tden.scaled_dot_product_attention = functools.partial(
+        tattn.scaled_dot_product_attention, attention_dtype=torch.float32
+    )
+    return TorchDenoiser, TorchDenoiserConfig, torch
+
+
+TINY_KW = dict(
+    patch_size=4, hidden_size=64, depth=3, num_heads=2, bottleneck_dim=16,
+    context_dim=32, context_start_block=1, rope_axes_dims=[8, 12, 12],
+    num_time_tokens=2, norm_type="rms",
+)
+
+
+@pytest.mark.parametrize(
+    "overrides",
+    [
+        {},
+        {"use_output_bottleneck": True},
+        {"do_context_fuse": True, "context_start_block": 0},
+        {"norm_type": "layer"},
+        {"timestep_scale": 1000.0},
+    ],
+)
+def test_forward_parity_with_reference(reference_modules, overrides):
+    TorchDenoiser, TorchDenoiserConfig, torch = reference_modules
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from vision_pt_tpu.models.jit.config import DenoiserConfig
+    from vision_pt_tpu.models.jit.convert import torch_to_nnx
+    from vision_pt_tpu.models.jit.denoiser import Denoiser as JaxDenoiser
+    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+    from vision_pt_tpu.utils.state_dict import load_flat_state
+
+    kw = {**TINY_KW, **overrides}
+    tmodel = TorchDenoiser(TorchDenoiserConfig(**kw))
+    tmodel.initialize_weights()
+    tmodel.eval()
+
+    jmodel = JaxDenoiser(DenoiserConfig(**kw), rngs=nnx.Rngs(0))
+    load_flat_state(
+        jmodel,
+        torch_to_nnx({k: v.detach().numpy() for k, v in tmodel.state_dict().items()}),
+        strict=True,
+    )
+
+    rng = np.random.default_rng(0)
+    batch = 2
+    img = rng.normal(size=(batch, 3, 16, 16)).astype(np.float32)
+    t = np.asarray([0.3, 0.7], dtype=np.float32)
+    ctx = rng.normal(size=(batch, 5, 32)).astype(np.float32)
+    mask = np.asarray([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], dtype=np.int64)
+    osz = np.asarray([[16, 16], [16, 16]], dtype=np.float32)
+    crop = np.zeros((batch, 2), dtype=np.float32)
+
+    with torch.no_grad():
+        tout = tmodel(
+            image=torch.from_numpy(img),
+            timestep=torch.from_numpy(t),
+            context=torch.from_numpy(ctx),
+            original_size=torch.from_numpy(osz),
+            target_size=torch.from_numpy(osz),
+            crop_coords=torch.from_numpy(crop),
+            context_mask=torch.from_numpy(mask),
+        ).numpy()
+
+    set_default_attention_dtype(None)
+    try:
+        jout = jmodel(
+            jnp.asarray(img.transpose(0, 2, 3, 1)),
+            jnp.asarray(t),
+            jnp.asarray(ctx),
+            jnp.asarray(osz),
+            jnp.asarray(osz),
+            jnp.asarray(crop),
+            jnp.asarray(mask),
+        )
+    finally:
+        set_default_attention_dtype(jnp.bfloat16)
+    jout_nchw = np.asarray(jout).transpose(0, 3, 1, 2)
+
+    mse = np.mean((jout_nchw - tout) ** 2)
+    psnr = 20 * np.log10(tout.max() - tout.min()) - 10 * np.log10(mse)
+    assert psnr > 60.0, f"PSNR {psnr:.1f} dB below parity threshold"

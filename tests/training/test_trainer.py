@@ -1,0 +1,162 @@
+import json
+
+import numpy as np
+import pytest
+
+from vision_pt_tpu.config import (
+    OptimizerConfig,
+    SavingConfig,
+    TrainConfig,
+    TrainerConfig,
+)
+from vision_pt_tpu.data.square_class_image import SyntheticClassImageDatasetConfig
+from vision_pt_tpu.saving import ModelSavingStrategyConfig
+from vision_pt_tpu.training.trainer import Trainer
+from vision_pt_tpu.workloads.jit_class_to_image import JiTForClassToImageTraining
+
+TINY_DENOISER = dict(
+    patch_size=8,
+    hidden_size=64,
+    depth=2,
+    num_heads=2,
+    bottleneck_dim=16,
+    context_dim=32,
+    context_start_block=0,
+    rope_axes_dims=[8, 12, 12],
+    num_time_tokens=2,
+)
+
+
+def _make_config(tmp_path, **trainer_kwargs):
+    label2id_path = tmp_path / "label2id.json"
+    label2id_path.write_text(json.dumps({f"c{i}": i for i in range(4)}))
+    return TrainConfig(
+        model={
+            "context_encoder": {
+                "type": "class",
+                "label2id_map_path": str(label2id_path),
+            },
+            "denoiser": TINY_DENOISER,
+            "max_token_length": 4,
+            "drop_context_rate": 0.1,
+        },
+        dataset={},
+        optimizer=OptimizerConfig(name="adamw", args={"lr": 2e-3}),
+        saving=SavingConfig(
+            strategy=ModelSavingStrategyConfig(per_epochs=None, per_steps=None),
+            callbacks=[
+                {
+                    "type": "safetensors",
+                    "name": "test",
+                    "save_dir": str(tmp_path / "out"),
+                }
+            ],
+        ),
+        seed=0,
+        num_train_epochs=2,
+        trainer=TrainerConfig(**trainer_kwargs),
+    )
+
+
+def _run(config, tmp_path, num_items=32, image_size=16, batch_size=8):
+    trainer = Trainer(config)
+    trainer.register_train_dataset_class(SyntheticClassImageDatasetConfig)
+    config.dataset = {
+        "num_classes": 4,
+        "num_items": num_items,
+        "image_size": image_size,
+        "batch_size": batch_size,
+    }
+    trainer.register_model_class(JiTForClassToImageTraining)
+    trainer.before_train()
+    return trainer
+
+
+def test_training_loss_decreases(tmp_path):
+    config = _make_config(tmp_path)
+    trainer = _run(config, tmp_path)
+
+    losses = []
+    trainable = trainer.model.trainable()
+    for epoch in range(4):
+        for batch in trainer.train_dataset:
+            key = trainer._next_key()
+            arrays = trainer.model.prepare_batch(batch, key)
+            loss, _ = trainer._jit_train_step(
+                trainable, trainer.optimizer, arrays, key
+            )
+            losses.append(float(loss))
+    first = np.mean(losses[:4])
+    last = np.mean(losses[-4:])
+    assert last < first, f"loss did not decrease: {first:.4f} -> {last:.4f}"
+
+
+def test_full_train_entrypoint_with_save(tmp_path):
+    config = _make_config(tmp_path)
+    config.num_train_epochs = 1
+    trainer = Trainer(config)
+    trainer.register_train_dataset_class(SyntheticClassImageDatasetConfig)
+    config.dataset = {
+        "num_classes": 4,
+        "num_items": 16,
+        "image_size": 16,
+        "batch_size": 8,
+    }
+    trainer.register_model_class(JiTForClassToImageTraining)
+    trainer.train()
+    saved = list((tmp_path / "out").glob("*.safetensors"))
+    assert len(saved) == 1  # save_last
+
+
+def test_debug_mode_1step(tmp_path, capsys):
+    config = _make_config(tmp_path, debug_mode="1step")
+    trainer = _run(config, tmp_path, num_items=16, batch_size=8)
+    trainer.training_loop()
+    assert trainer.global_step == 1
+
+
+def test_gradient_accumulation_and_clip(tmp_path):
+    config = _make_config(
+        tmp_path, gradient_accumulation_steps=2, clip_grad_norm=1.0
+    )
+    trainer = _run(config, tmp_path, num_items=16, batch_size=4)
+    trainable = trainer.model.trainable()
+    for batch in trainer.train_dataset:
+        key = trainer._next_key()
+        arrays = trainer.model.prepare_batch(batch, key)
+        loss, metrics = trainer._jit_train_step(
+            trainable, trainer.optimizer, arrays, key
+        )
+        assert np.isfinite(float(loss))
+
+
+def test_ema_state(tmp_path):
+    config = _make_config(tmp_path, use_ema=True, ema_decay=0.9)
+    trainer = _run(config, tmp_path, num_items=16, batch_size=8)
+    assert trainer.ema_state is not None
+    trainable = trainer.model.trainable()
+    import jax
+
+    before = jax.tree.leaves(trainer.ema_state)[0].copy()
+    for batch in trainer.train_dataset:
+        key = trainer._next_key()
+        arrays = trainer.model.prepare_batch(batch, key)
+        trainer._jit_train_step(trainable, trainer.optimizer, arrays, key)
+        trainer.ema_state = trainer._jit_update_ema(trainer.ema_state, trainable)
+        break
+    after = jax.tree.leaves(trainer.ema_state)[0]
+    assert not np.array_equal(np.asarray(before), np.asarray(after))
+
+
+def test_gradient_checkpointing_trains(tmp_path):
+    config = _make_config(tmp_path, gradient_checkpointing=True)
+    trainer = _run(config, tmp_path, num_items=8, batch_size=8)
+    trainable = trainer.model.trainable()
+    for batch in trainer.train_dataset:
+        key = trainer._next_key()
+        arrays = trainer.model.prepare_batch(batch, key)
+        loss, _ = trainer._jit_train_step(
+            trainable, trainer.optimizer, arrays, key
+        )
+        assert np.isfinite(float(loss))
+        break

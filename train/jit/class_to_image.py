@@ -1,0 +1,49 @@
+"""JiT class-to-image training entry point (rebuild of reference
+``train/jit/class_to_image.py:314-330``).
+
+Usage: python train/jit/class_to_image.py --config configs/jit/class_to_image.yml
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import click
+
+from vision_pt_tpu.config import TrainConfig
+from vision_pt_tpu.data.preview import TextToImagePreviewConfig
+from vision_pt_tpu.data.square_class_image import (
+    SquareClassImageDatasetConfig,
+    SyntheticClassImageDatasetConfig,
+)
+from vision_pt_tpu.training.trainer import Trainer
+from vision_pt_tpu.workloads.jit_class_to_image import JiTForClassToImageTraining
+
+
+def _dataset_class(dataset_cfg: dict):
+    if dataset_cfg.get("type") == "synthetic":
+        return SyntheticClassImageDatasetConfig
+    return SquareClassImageDatasetConfig
+
+
+@click.command()
+@click.option("--config", "config_path", type=str, required=True)
+def main(config_path: str):
+    config = TrainConfig.from_config_file(config_path)
+    trainer = Trainer(config)
+
+    dataset_cfg = dict(config.dataset)
+    dataset_cfg.pop("type", None)
+    ds_class = _dataset_class(dict(config.dataset))
+    config.dataset = dataset_cfg
+
+    trainer.register_train_dataset_class(ds_class)
+    trainer.register_preview_dataset_class(TextToImagePreviewConfig)
+    trainer.register_model_class(JiTForClassToImageTraining)
+
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Bucket core: fixed-shape batch containers (rebuild of reference
+``src/dataset/bucket.py``).
+
+A ``Bucket`` holds items of one resolution and serves whole batches (the key
+property for XLA: every batch from one bucket has the same shape, so the train
+step compiles once per bucket). ``BucketDataset`` indexes batches;
+``ConcatBucketDataset`` interleaves buckets per epoch. All NumPy — no torch
+DataLoader; per-host sharding for multi-host runs slices the batch index
+space.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Any, Iterator, Sequence
+
+import numpy as np
+
+
+def bucketing_collate(items: list[dict]) -> dict[str, Any]:
+    """Stack array fields, keep list fields (reference ``bucket.py:22-41``)."""
+    out: dict[str, Any] = {}
+    if not items:
+        return out
+    for key in items[0]:
+        values = [item[key] for item in items]
+        if isinstance(values[0], np.ndarray):
+            out[key] = np.stack(values)
+        else:
+            out[key] = values
+    return out
+
+
+class Bucket:
+    """Repeatable item container with modulo indexing
+    (reference ``bucket.py:45-92``)."""
+
+    def __init__(self, items: Sequence, batch_size: int, num_repeats: int = 1):
+        self.items = items
+        self.num_items = len(items)
+        self.batch_size = batch_size
+        self.num_repeats = num_repeats
+
+    def __len__(self) -> int:
+        return self.num_items * self.num_repeats
+
+    def get_item(self, idx: int):
+        return self.items[idx % self.num_items]
+
+    def load_item(self, idx: int) -> dict:
+        """Subclasses decode/transform here; base returns the raw item."""
+        item = self.get_item(idx)
+        return item if isinstance(item, dict) else {"item": item}
+
+    def get_batch(self, batch_idx: int) -> dict[str, Any]:
+        start = batch_idx * self.batch_size
+        idxs = range(start, min(start + self.batch_size, len(self)))
+        return bucketing_collate([self.load_item(i) for i in idxs])
+
+    @property
+    def num_batches(self) -> int:
+        return math.ceil(len(self) / self.batch_size)
+
+
+class BucketDataset:
+    """Batch-level view of one bucket (reference ``bucket.py:95-121``)."""
+
+    def __init__(self, bucket: Bucket):
+        self.bucket = bucket
+
+    def __len__(self) -> int:
+        return self.bucket.num_batches
+
+    def __getitem__(self, idx: int) -> dict[str, Any]:
+        return self.bucket.get_batch(idx)
+
+
+class ConcatBucketDataset:
+    """Epoch iterator over several buckets with optional shuffling of the
+    global batch order (the reference relies on torch ConcatDataset +
+    DataLoader shuffle; here it's explicit)."""
+
+    def __init__(
+        self,
+        buckets: list[Bucket],
+        shuffle: bool = True,
+        seed: int = 0,
+        host_index: int = 0,
+        host_count: int = 1,
+    ):
+        self.datasets = [BucketDataset(b) for b in buckets]
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.host_index = host_index
+        self.host_count = host_count
+        self._index: list[tuple[int, int]] = [
+            (di, bi)
+            for di, ds in enumerate(self.datasets)
+            for bi in range(len(ds))
+        ]
+
+    def __len__(self) -> int:
+        return len(self._index[self.host_index :: self.host_count])
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[dict[str, Any]]:
+        order = list(self._index)
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(order)
+        # per-host sharding: each host takes a strided slice of batches
+        for di, bi in order[self.host_index :: self.host_count]:
+            yield self.datasets[di][bi]
+        self.epoch += 1

