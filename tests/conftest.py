@@ -7,7 +7,8 @@ of conftest (pytest imports it before any test module).
 import os
 
 # The environment exports JAX_PLATFORMS=axon (real TPU); tests must run on a
-# virtual CPU mesh, so override unconditionally.
+# virtual CPU mesh. NOTE: the axon plugin ignores the JAX_PLATFORMS env var —
+# only jax.config.update("jax_platforms", ...) works.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -17,4 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got "
+    f"{jax.devices()[0].platform}"
+)
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

@@ -1,0 +1,291 @@
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import nnx
+
+from vision_pt_tpu.models.sdxl.config import DenoiserConfig, SDXLConfig
+from vision_pt_tpu.models.sdxl.convert import (
+    convert_from_original_key,
+    convert_to_comfy_key,
+    convert_to_original_key,
+    unet_nnx_to_torch,
+    unet_torch_to_nnx,
+)
+from vision_pt_tpu.models.sdxl.denoiser import Denoiser
+from vision_pt_tpu.models.sdxl.scheduler import Scheduler
+from vision_pt_tpu.models.sdxl.text_encoder import (
+    CLIPTextConfig,
+    CLIPTextModel,
+    TextEncoder,
+)
+from vision_pt_tpu.models.sdxl.vae import VAE
+from vision_pt_tpu.ops.long_prompt import chunk_token_ids
+from vision_pt_tpu.utils.state_dict import (
+    convert_open_clip_to_transformers,
+    convert_transformers_to_open_clip,
+    flatten_state,
+    load_flat_state,
+)
+
+TINY_UNET = dict(
+    hidden_dim=32,
+    block_out_channels=[32, 32, 64],
+    num_transformers_per_block=[1, 1, 2],
+    num_head_channels=16,
+    context_dim=32,
+    layers_per_block=1,
+)
+
+
+class MockTokenizer:
+    """HF-like tokenizer: word-hash ids, CLIP special tokens."""
+
+    bos_token_id = 0
+    eos_token_id = 2
+    pad_token_id = 1
+
+    def __init__(self, vocab_size: int = 1000):
+        self.vocab_size = vocab_size
+
+    def __call__(self, prompts, padding, truncation, max_length):
+        out = []
+        for text in prompts:
+            ids = [self.bos_token_id]
+            ids += [3 + (hash(w) % (self.vocab_size - 3)) for w in text.split()]
+            ids = ids[: max_length - 1] + [self.eos_token_id]
+            ids += [self.pad_token_id] * (max_length - len(ids))
+            out.append(ids)
+        return {"input_ids": np.asarray(out, dtype=np.int64)}
+
+
+def test_unet_forward_shape():
+    model = Denoiser(DenoiserConfig(**TINY_UNET), rngs=nnx.Rngs(0))
+    lat = jax.random.normal(jax.random.key(0), (2, 16, 16, 4))
+    t = jnp.asarray([500.0, 10.0])
+    ctx = jax.random.normal(jax.random.key(1), (2, 7, 32))
+    pooled = jax.random.normal(jax.random.key(2), (2, 1280))
+    sz = jnp.full((2, 2), 128.0)
+    out = model(lat, t, ctx, pooled, sz, sz, jnp.zeros_like(sz))
+    assert out.shape == (2, 16, 16, 4)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_unet_state_roundtrip():
+    model = Denoiser(DenoiserConfig(**TINY_UNET), rngs=nnx.Rngs(0))
+    flat = {k: np.asarray(v) for k, v in flatten_state(model).items()}
+    torch_sd = unet_nnx_to_torch(flat)
+    back = unet_torch_to_nnx(torch_sd)
+    assert set(back.keys()) == set(flat.keys())
+    for k in flat:
+        np.testing.assert_array_equal(back[k], flat[k])
+
+
+def test_sgm_key_conversion_roundtrip():
+    keys = [
+        "model.diffusion_model.input_blocks.4.1.transformer_blocks.0.attn1.to_q.weight",
+        "model.diffusion_model.middle_block.1.proj_in.bias",
+        "model.diffusion_model.out.0.weight",
+        "conditioner.embedders.0.transformer.text_model.encoder.layers.0.self_attn.q_proj.weight",
+        "first_stage_model.decoder.up.0.block.1.conv1.weight",
+        "first_stage_model.encoder.mid.block_1.norm1.weight",
+        "first_stage_model.encoder.mid.attn_1.q.weight",
+    ]
+    for key in keys:
+        internal = convert_from_original_key(key)
+        assert convert_to_original_key(internal) == key, (key, internal)
+    # spot checks
+    assert convert_from_original_key(keys[0]).startswith(
+        "denoiser.input_blocks.blocks.4.1."
+    )
+    assert (
+        convert_from_original_key(keys[4])
+        == "vae.decoder.up_blocks.3.resnets.1.conv1.weight"
+    )
+    assert (
+        convert_from_original_key(keys[5])
+        == "vae.encoder.mid_block.resnets.0.norm1.weight"
+    )
+    assert convert_to_comfy_key(
+        "text_encoder.text_encoder_1.text_model.x"
+    ) == "clip_l.text_model.x"
+
+
+def test_scheduler_matches_reference_implementation():
+    """Parity against the reference's Scheduler math (importable, pure)."""
+    from tests.reference_stubs import install_stubs, reference_available
+
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    install_stubs()
+    from src.models.sdxl.scheduler import Scheduler as RefScheduler
+    ours, ref = Scheduler(), RefScheduler()
+    for steps in (17, 20, 28, 50):
+        t_ours = ours.get_timesteps(steps)
+        t_ref = ref.get_timesteps(steps)
+        np.testing.assert_array_equal(t_ours, t_ref)
+        # numpy vs torch fp32 cumprod rounding: ~2e-6 relative
+        np.testing.assert_allclose(
+            ours.get_sigmas(t_ours), ref.get_sigmas(t_ref), rtol=1e-5
+        )
+    sig = ours.get_sigmas(ours.get_timesteps(20))
+    assert sig[-1] == 0.0
+    assert ours.get_max_noise_sigma(sig) == pytest.approx(
+        float(np.sqrt(sig.max() ** 2 + 1)), rel=1e-6
+    )
+
+
+def test_scheduler_steps():
+    s = Scheduler()
+    lat = jnp.ones((1, 4, 4, 4))
+    pred = jnp.full((1, 4, 4, 4), 2.0)
+    out = s.step(lat, pred, 10.0, 8.0)
+    np.testing.assert_allclose(np.asarray(out), 1.0 + 2.0 * (8 - 10), atol=1e-5)
+    # ancestral with next_sigma 0 is deterministic
+    out2 = s.ancestral_step(jax.random.key(0), lat, pred, 10.0, 0.0)
+    np.testing.assert_allclose(np.asarray(out2), 1.0 - 20.0, atol=1e-4)
+
+
+def test_clip_parity_with_transformers():
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPTextConfig as HFCfg
+    from transformers import CLIPTextModelWithProjection
+
+    from vision_pt_tpu.models.sdxl.pipeline import _embed_fix
+
+    hf_cfg = HFCfg(
+        vocab_size=100, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=2,
+        max_position_embeddings=77, hidden_act="gelu", projection_dim=32,
+        eos_token_id=2, bos_token_id=0, pad_token_id=1,
+    )
+    tm = CLIPTextModelWithProjection(hf_cfg)
+    tm.eval()
+    jcfg = CLIPTextConfig(
+        vocab_size=100, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=2, hidden_act="gelu",
+        projection_dim=32,
+    )
+    jm = CLIPTextModel(jcfg, with_projection=True, rngs=nnx.Rngs(0))
+    tsd = {
+        k: v.detach().numpy()
+        for k, v in tm.state_dict().items()
+        if "position_ids" not in k
+    }
+    load_flat_state(jm, unet_torch_to_nnx(_embed_fix(tsd)), strict=True)
+
+    ids = np.array(
+        [[0, 5, 9, 2, 1, 1, 1, 1], [0, 99, 2, 1, 1, 1, 1, 1]], dtype=np.int64
+    )
+    with torch.no_grad():
+        tout = tm(torch.from_numpy(ids), output_hidden_states=True)
+    jout = jm(jnp.asarray(ids))
+    np.testing.assert_allclose(
+        np.asarray(jout.penultimate_hidden_state),
+        tout.hidden_states[-2].numpy(), atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jout.text_embeds), tout.text_embeds.numpy(), atol=1e-5
+    )
+
+
+def test_open_clip_conversion_roundtrip():
+    rng = np.random.default_rng(0)
+    sd = {
+        "text_model.positional_embedding": rng.normal(size=(77, 8)),
+        "text_model.token_embedding.weight": rng.normal(size=(10, 8)),
+        "text_model.transformer.resblocks.0.attn.in_proj_weight": rng.normal(size=(24, 8)),
+        "text_model.transformer.resblocks.0.attn.in_proj_bias": rng.normal(size=(24,)),
+        "text_model.transformer.resblocks.0.attn.out_proj.weight": rng.normal(size=(8, 8)),
+        "text_model.transformer.resblocks.0.ln_1.weight": rng.normal(size=(8,)),
+        "text_model.transformer.resblocks.0.mlp.c_fc.weight": rng.normal(size=(16, 8)),
+        "text_model.ln_final.weight": rng.normal(size=(8,)),
+    }
+    hf = convert_open_clip_to_transformers(sd)
+    assert "text_model.encoder.layers.0.self_attn.q_proj.weight" in hf
+    assert "text_model.embeddings.position_embedding.weight" in hf
+    back = convert_transformers_to_open_clip(hf)
+    for k, v in sd.items():
+        np.testing.assert_array_equal(back[k], v)
+
+
+def test_long_prompt_chunking():
+    ids = np.zeros((1, 8), dtype=np.int64)
+    ids[0] = [0, 5, 6, 7, 8, 9, 2, 1]  # bos, 6 tokens..., eos, pad
+    out = chunk_token_ids(ids, bos_token_id=0, eos_token_id=2, pad_token_id=1,
+                          max_length=6, chunk_length=3)
+    assert out.input_ids.shape == (2, 5)
+    np.testing.assert_array_equal(out.input_ids[0], [0, 5, 6, 7, 2])
+    np.testing.assert_array_equal(out.input_ids[1], [0, 8, 9, 2, 2])
+    assert out.attention_mask.shape == (2, 5)
+
+
+def test_vae_roundtrip_and_tiled_decode():
+    vae = VAE(block_out_channels=(8, 16), layers_per_block=1,
+              norm_num_groups=4, latent_channels=4, rngs=nnx.Rngs(0))
+    assert vae.compression_ratio == 2
+    img = jax.random.normal(jax.random.key(0), (1, 32, 32, 3))
+    dist = vae.encode(img)
+    z = dist.sample(jax.random.key(1))
+    assert z.shape == (1, 16, 16, 4)
+    assert dist.mode.shape == z.shape
+    rec = vae.decode(z)
+    assert rec.shape == (1, 32, 32, 3)
+    # tiled decode equals plain decode away from seams for small overlap
+    tiled = vae.tiled_decode(z, tile_latent_size=16)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(rec), atol=1e-5)
+
+
+def test_text_encoder_dual_shapes():
+    te = TextEncoder.from_default.__func__  # avoid building full-size models
+    cfg1 = CLIPTextConfig(vocab_size=1000, hidden_size=16, intermediate_size=32,
+                          num_hidden_layers=2, num_attention_heads=2,
+                          projection_dim=16)
+    cfg2 = CLIPTextConfig(vocab_size=1000, hidden_size=24, intermediate_size=48,
+                          num_hidden_layers=2, num_attention_heads=2,
+                          hidden_act="gelu", projection_dim=24)
+    rngs = nnx.Rngs(0)
+    enc = TextEncoder(
+        CLIPTextModel(cfg1, rngs=rngs), MockTokenizer(),
+        CLIPTextModel(cfg2, with_projection=True, rngs=rngs), MockTokenizer(),
+    )
+    out = enc.encode_prompts("a cat sitting", "bad", use_negative_prompts=True,
+                             max_token_length=150)
+    # 150 = 2 chunks of 75 -> merged seq = 2 + 150
+    assert out.text_encoder_1.positive_embeddings.shape == (1, 152, 16)
+    assert out.text_encoder_1.negative_embeddings.shape == (1, 152, 16)
+    assert out.text_encoder_2.positive_embeddings.shape == (1, 152, 24)
+    assert out.text_encoder_2.pooled_positive_embeddings.shape == (1, 24)
+
+
+def test_sdxl_pipeline_generate_tiny():
+    from vision_pt_tpu.models.sdxl.pipeline import SDXLModel
+
+    cfg = SDXLConfig(
+        checkpoint_path="",
+        dtype="float32",
+        denoiser=DenoiserConfig(**{**TINY_UNET, "context_dim": 40}),
+        vae_config=dict(block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+                        norm_num_groups=4, latent_channels=4),
+    )
+    model = SDXLModel.from_config(cfg, rngs=nnx.Rngs(0))
+    # tiny text encoders with mock tokenizers
+    rngs = nnx.Rngs(1)
+    cfg1 = CLIPTextConfig(vocab_size=1000, hidden_size=16, intermediate_size=32,
+                          num_hidden_layers=2, num_attention_heads=2)
+    cfg2 = CLIPTextConfig(vocab_size=1000, hidden_size=24, intermediate_size=48,
+                          num_hidden_layers=2, num_attention_heads=2,
+                          hidden_act="gelu", projection_dim=1280)
+    model.text_encoder = TextEncoder(
+        CLIPTextModel(cfg1, rngs=rngs), MockTokenizer(),
+        CLIPTextModel(cfg2, with_projection=True, rngs=rngs), MockTokenizer(),
+    )
+    images = model.generate(
+        "a cat", negative_prompt="bad", width=64, height=64,
+        num_inference_steps=2, cfg_scale=3.0, seed=7,
+        execution_dtype=jnp.float32,
+    )
+    assert len(images) == 1
+    assert images[0].size == (64, 64)

@@ -1,0 +1,92 @@
+"""SDXL UNet numerical parity against the PyTorch reference with converted
+weights (same method as the JiT parity tests)."""
+
+import numpy as np
+import pytest
+
+from tests.reference_stubs import install_stubs, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted"
+)
+
+
+def test_unet_forward_parity_with_reference():
+    install_stubs()
+    import functools
+
+    import torch
+    import src.models.sdxl.denoiser as tden
+    import src.modules.attention as tattn
+    from src.models.sdxl.config import DenoiserConfig as TorchDenoiserConfig
+    from src.models.sdxl.denoiser import Denoiser as TorchDenoiser
+
+    tden.scaled_dot_product_attention = functools.partial(
+        tattn.scaled_dot_product_attention, attention_dtype=torch.float32
+    )
+
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from vision_pt_tpu.models.sdxl.config import DenoiserConfig
+    from vision_pt_tpu.models.sdxl.convert import unet_torch_to_nnx
+    from vision_pt_tpu.models.sdxl.denoiser import Denoiser as JaxDenoiser
+    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+    from vision_pt_tpu.utils.state_dict import load_flat_state
+
+    # NOTE: the reference UNet does not forward num_transformers_per_block to
+    # DownBlocks (hardcoded [1, 2, 10]), so parity requires the default stage
+    # layout at tiny dims.
+    kw = dict(
+        hidden_dim=32, block_out_channels=[32, 32, 64],
+        num_transformers_per_block=[1, 2, 10],
+        num_head_channels=16, context_dim=32, layers_per_block=2,
+    )
+    tmodel = TorchDenoiser(TorchDenoiserConfig(**kw))
+    tmodel.eval()
+    jmodel = JaxDenoiser(DenoiserConfig(**kw), rngs=nnx.Rngs(0))
+    load_flat_state(
+        jmodel,
+        unet_torch_to_nnx(
+            {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+        ),
+        strict=True,
+    )
+
+    rng = np.random.default_rng(0)
+    batch = 2
+    lat = rng.normal(size=(batch, 4, 16, 16)).astype(np.float32)
+    t = np.asarray([500.0, 10.0], dtype=np.float32)
+    ctx = rng.normal(size=(batch, 7, 32)).astype(np.float32)
+    pooled = rng.normal(size=(batch, 1280)).astype(np.float32)
+    osz = np.asarray([[128, 128], [128, 128]], dtype=np.float32)
+    crop = np.zeros((batch, 2), dtype=np.float32)
+
+    with torch.no_grad():
+        tout = tmodel(
+            latents=torch.from_numpy(lat),
+            timestep=torch.from_numpy(t),
+            encoder_hidden_states=torch.from_numpy(ctx),
+            encoder_pooler_output=torch.from_numpy(pooled),
+            original_size=torch.from_numpy(osz),
+            target_size=torch.from_numpy(osz),
+            crop_coords_top_left=torch.from_numpy(crop),
+        ).numpy()
+
+    set_default_attention_dtype(None)
+    try:
+        jout = jmodel(
+            jnp.asarray(lat.transpose(0, 2, 3, 1)),
+            jnp.asarray(t),
+            jnp.asarray(ctx),
+            jnp.asarray(pooled),
+            jnp.asarray(osz),
+            jnp.asarray(osz),
+            jnp.asarray(crop),
+        )
+    finally:
+        set_default_attention_dtype(jnp.bfloat16)
+    jout_nchw = np.asarray(jout).transpose(0, 3, 1, 2)
+    mse = np.mean((jout_nchw - tout) ** 2)
+    psnr = 20 * np.log10(tout.max() - tout.min()) - 10 * np.log10(mse)
+    assert psnr > 60.0, f"PSNR {psnr:.1f} dB below parity threshold"

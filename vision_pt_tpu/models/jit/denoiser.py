@@ -506,27 +506,7 @@ class JiT(nnx.Module):
         self.context_embedder = _linear(
             config.context_dim, config.hidden_size, dtype=dtype, param_dtype=param_dtype, rngs=rngs
         )
-        self.blocks = nnx.List(
-            [
-                JiTBlock(
-                    hidden_dim=config.hidden_size,
-                    num_heads=config.num_heads,
-                    mlp_ratio=config.mlp_ratio,
-                    attn_dropout=config.attn_dropout,
-                    proj_dropout=config.proj_dropout,
-                    qkv_bias=True,
-                    qk_norm=True,
-                    use_bias=True,
-                    eps=1e-6,
-                    positional_encoding=config.positional_encoding,
-                    norm_type=config.norm_type,
-                    dtype=dtype,
-                    param_dtype=param_dtype,
-                    rngs=rngs,
-                )
-                for _ in range(config.depth)
-            ]
-        )
+        self._build_blocks(config, dtype=dtype, param_dtype=param_dtype, rngs=rngs)
         if config.use_output_bottleneck:
             self.final_layer = BottleneckFinalLayer(
                 hidden_dim=config.hidden_size,
@@ -550,6 +530,31 @@ class JiT(nnx.Module):
                 param_dtype=param_dtype,
                 rngs=rngs,
             )
+
+    def _build_blocks(self, config: DenoiserConfig, *, dtype, param_dtype,
+                      rngs: nnx.Rngs):
+        """Block-stack construction; extensions override this."""
+        self.blocks = nnx.List(
+            [
+                JiTBlock(
+                    hidden_dim=config.hidden_size,
+                    num_heads=config.num_heads,
+                    mlp_ratio=config.mlp_ratio,
+                    attn_dropout=config.attn_dropout,
+                    proj_dropout=config.proj_dropout,
+                    qkv_bias=True,
+                    qk_norm=True,
+                    use_bias=True,
+                    eps=1e-6,
+                    positional_encoding=config.positional_encoding,
+                    norm_type=config.norm_type,
+                    dtype=dtype,
+                    param_dtype=param_dtype,
+                    rngs=rngs,
+                )
+                for _ in range(config.depth)
+            ]
+        )
 
     def set_gradient_checkpointing(self, enable: bool = True):
         self.gradient_checkpointing = enable
@@ -616,16 +621,19 @@ class JiT(nnx.Module):
         x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, gh, P, gw, P, C)
         return x.reshape(batch, height, width, cfg.out_channels)
 
-    def __call__(
+    def _prepare_inputs(
         self,
-        image: jax.Array,  # (B, H, W, C) NHWC
-        timestep: jax.Array,  # (B,)
-        context: jax.Array,  # (B, context_len, context_dim)
-        original_size: jax.Array,  # (B, 2) (H, W)
-        target_size: jax.Array,  # (B, 2)
-        crop_coords: jax.Array,  # (B, 2)
-        context_mask: jax.Array | None = None,  # (B, context_len); right-padded
-    ) -> jax.Array:
+        image: jax.Array,
+        timestep: jax.Array,
+        context: jax.Array,
+        original_size: jax.Array,
+        target_size: jax.Array,
+        crop_coords: jax.Array,
+        context_mask: jax.Array | None,
+    ):
+        """Shared token/freq/mask prep (reference ``denoiser.py:986-1085``);
+        extensions reuse this. Returns (tokens, context_embed, freqs,
+        kv_lens_full, key_mask_full, patches_len, prefix_len)."""
         cfg = self.config
         batch_size, height, width, _ = image.shape
 
@@ -665,6 +673,31 @@ class JiT(nnx.Module):
             key_mask_full = None
 
         tokens = jnp.concatenate([patches, imagesize_embed, time_tokens], axis=1)
+        return (
+            tokens, context_embed, freqs, kv_lens_full, key_mask_full,
+            patches_len, prefix_len,
+        )
+
+    def __call__(
+        self,
+        image: jax.Array,  # (B, H, W, C) NHWC
+        timestep: jax.Array,  # (B,)
+        context: jax.Array,  # (B, context_len, context_dim)
+        original_size: jax.Array,  # (B, 2) (H, W)
+        target_size: jax.Array,  # (B, 2)
+        crop_coords: jax.Array,  # (B, 2)
+        context_mask: jax.Array | None = None,  # (B, context_len); right-padded
+    ) -> jax.Array:
+        cfg = self.config
+        height, width = image.shape[1], image.shape[2]
+        (
+            tokens, context_embed, freqs, kv_lens_full, key_mask_full,
+            patches_len, prefix_len,
+        ) = self._prepare_inputs(
+            image, timestep, context, original_size, target_size, crop_coords,
+            context_mask,
+        )
+        context_len = context_embed.shape[1]
 
         use_remat = self.gradient_checkpointing
         for i, block in enumerate(self.blocks):

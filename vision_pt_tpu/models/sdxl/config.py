@@ -60,6 +60,12 @@ class SDXLConfig(BaseModel):
     dtype: str = "bfloat16"
 
     denoiser: DenoiserConfig = DenoiserConfig()
+    # override the VAE architecture (None = SDXL default); used by tests and
+    # small research configs
+    vae_config: dict | None = None
+    # override the two CLIP text encoder architectures (None = CLIP-L + bigG)
+    text_encoder_1_config: dict | None = None
+    text_encoder_2_config: dict | None = None
 
     @property
     def jnp_dtype(self) -> jnp.dtype:

@@ -159,6 +159,13 @@ _UNET_RENAMES_TOP = [
     ("out.2.", "out_conv."),
 ]
 
+# diffusers-VAE / HF-CLIP container names -> our attribute names
+_EXTRA_RENAMES = [
+    (".downsamplers.0.conv.", ".downsampler."),
+    (".upsamplers.0.conv.", ".upsampler."),
+    (".encoder.layers.", ".layers."),  # CLIP text model
+]
+
 _NORM_HINTS = (
     ".in_norm.", ".out_norm.", ".norm.", ".norm1.", ".norm2.", ".norm3.",
     "out_norm.", ".group_norm.", ".conv_norm_out.", ".norm_out.",
@@ -176,12 +183,15 @@ def unet_torch_to_nnx(torch_sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
     for key, value in torch_sd.items():
         value = np.asarray(value)
-        for old, new in _UNET_RENAMES:
+        for old, new in _UNET_RENAMES + _EXTRA_RENAMES:
             if old in key:
                 key = key.replace(old, new, 1)
         for old, new in _UNET_RENAMES_TOP:
             if key.startswith(old):
                 key = new + key[len(old):]
+        if key.endswith(".embedding"):
+            out[key] = value
+            continue
         if key.endswith(".weight"):
             base = key[: -len(".weight")]
             if value.ndim == 4:  # conv OIHW -> HWIO
@@ -213,7 +223,7 @@ def unet_nnx_to_torch(nnx_sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
             out[key] = value
     final: dict[str, np.ndarray] = {}
     for key, value in out.items():
-        for new, old in _UNET_RENAMES:  # inverse renames
+        for new, old in _UNET_RENAMES + _EXTRA_RENAMES:  # inverse renames
             if old in key:
                 key = key.replace(old, new, 1)
         for new, old in _UNET_RENAMES_TOP:

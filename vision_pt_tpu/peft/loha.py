@@ -38,7 +38,10 @@ class LoHaLinear(PeftLayer):
         self.config = config
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         dtype = str_to_dtype(config.dtype)
-        in_features, out_features = original_linear.kernel.value.shape
+        if hasattr(original_linear, "kernel_shape"):
+            in_features, out_features = original_linear.kernel_shape
+        else:
+            in_features, out_features = original_linear.kernel.value.shape
         self.rank = config.rank
         self.enabled = True
         self.dropout_rate = config.dropout

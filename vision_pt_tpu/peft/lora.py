@@ -45,7 +45,11 @@ class LoRALinear(PeftLayer):
         self.config = config
         rngs = rngs if rngs is not None else nnx.Rngs(0)
         dtype = str_to_dtype(config.dtype)
-        in_features, out_features = original_linear.kernel.value.shape
+        # plain nnx.Linear has .kernel; quantized linears expose kernel_shape
+        if hasattr(original_linear, "kernel_shape"):
+            in_features, out_features = original_linear.kernel_shape
+        else:
+            in_features, out_features = original_linear.kernel.value.shape
         self.rank = config.rank
         self.enabled = True
         self.dropout_rate = config.dropout

@@ -116,3 +116,87 @@ def convert_keys(
                 break
         out[new_key] = value
     return out
+
+
+# ----------------------------------------------------- open_clip converters
+# (reference ``src/utils/state_dict.py:45-191``)
+
+
+def _convert_key_open_clip_to_transformers(key: str) -> str:
+    key = key.replace(
+        "positional_embedding", "embeddings.position_embedding.weight", 1
+    )
+    key = key.replace("token_embedding", "embeddings.token_embedding", 1)
+    key = key.replace("transformer.resblocks", "encoder.layers", 1)
+    key = key.replace(".attn.", ".self_attn.", 1)
+    key = key.replace(".ln_1.", ".layer_norm1.", 1)
+    key = key.replace(".ln_2.", ".layer_norm2.", 1)
+    key = key.replace(".mlp.c_fc.", ".mlp.fc1.", 1)
+    key = key.replace(".mlp.c_proj.", ".mlp.fc2.", 1)
+    key = key.replace("ln_final", "final_layer_norm", 1)
+    return key
+
+
+def _convert_key_transformers_to_open_clip(key: str) -> str:
+    key = key.replace(
+        "embeddings.position_embedding.weight", "positional_embedding", 1
+    )
+    key = key.replace("embeddings.token_embedding", "token_embedding", 1)
+    key = key.replace("encoder.layers", "transformer.resblocks", 1)
+    key = key.replace(".self_attn.", ".attn.", 1)
+    key = key.replace(".layer_norm1.", ".ln_1.", 1)
+    key = key.replace(".layer_norm2.", ".ln_2.", 1)
+    key = key.replace(".mlp.fc1.", ".mlp.c_fc.", 1)
+    key = key.replace(".mlp.fc2.", ".mlp.c_proj.", 1)
+    key = key.replace("final_layer_norm", "ln_final", 1)
+    return key
+
+
+def convert_open_clip_to_transformers(
+    state_dict: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    """open_clip layout -> HF transformers layout, including the fused
+    in_proj qkv split."""
+    new_sd: dict[str, np.ndarray] = {}
+    for key, value in state_dict.items():
+        if "logit_scale" in key:
+            continue
+        new_sd[_convert_key_open_clip_to_transformers(key)] = np.asarray(value)
+    for key in list(new_sd.keys()):
+        if re.match(r".*\.in_proj_weight$", key):
+            q, k, v = np.split(new_sd.pop(key), 3, axis=0)
+            new_sd[key.replace("in_proj_weight", "q_proj.weight")] = q
+            new_sd[key.replace("in_proj_weight", "k_proj.weight")] = k
+            new_sd[key.replace("in_proj_weight", "v_proj.weight")] = v
+        elif re.match(r".*\.in_proj_bias$", key):
+            q, k, v = np.split(new_sd.pop(key), 3, axis=0)
+            new_sd[key.replace("in_proj_bias", "q_proj.bias")] = q
+            new_sd[key.replace("in_proj_bias", "k_proj.bias")] = k
+            new_sd[key.replace("in_proj_bias", "v_proj.bias")] = v
+    return new_sd
+
+
+def convert_transformers_to_open_clip(
+    state_dict: dict[str, np.ndarray],
+) -> dict[str, np.ndarray]:
+    new_sd: dict[str, np.ndarray] = {}
+    for key, value in state_dict.items():
+        if m := re.search(r"(.*)\.(q|k|v)_proj\.(weight|bias)$", key):
+            base, which, kind = m.group(1), m.group(2), m.group(3)
+            if which != "q":
+                continue  # handled once per triple
+            fused = np.concatenate(
+                [
+                    np.asarray(state_dict[f"{base}.q_proj.{kind}"]),
+                    np.asarray(state_dict[f"{base}.k_proj.{kind}"]),
+                    np.asarray(state_dict[f"{base}.v_proj.{kind}"]),
+                ],
+                axis=0,
+            )
+            name = "in_proj_weight" if kind == "weight" else "in_proj_bias"
+            new_sd[
+                _convert_key_transformers_to_open_clip(f"{base}.{name}")
+            ] = fused
+        else:
+            new_sd[_convert_key_transformers_to_open_clip(key)] = np.asarray(value)
+    return new_sd
