@@ -115,3 +115,29 @@ def test_shortcut_self_consistency_targets_and_loss():
         jnp.zeros_like(targets.first_shortcut),
     )
     assert float(loss) > 0
+
+
+def test_ssim_identity_and_noise():
+    from vision_pt_tpu.ops.loss.perceptual import PerceptualLoss, ssim, ssim_loss
+
+    key = jax.random.key(0)
+    x = jax.random.uniform(key, (2, 32, 32, 3), minval=-1, maxval=1)
+    np.testing.assert_allclose(np.asarray(ssim(x, x)), 1.0, atol=1e-5)
+    noisy = x + jax.random.normal(jax.random.key(1), x.shape) * 0.5
+    s = np.asarray(ssim(x, noisy))
+    assert np.all(s < 0.9)
+    assert float(ssim_loss(x, x)) < 1e-5
+    pl = PerceptualLoss({"ssim": 2.0})
+    out = pl(x, noisy)
+    np.testing.assert_allclose(
+        float(out["total"]), 2.0 * float(out["ssim"]), rtol=1e-6
+    )
+
+
+def test_lpips_gated():
+    import pytest
+
+    from vision_pt_tpu.ops.loss.perceptual import LPIPS
+
+    with pytest.raises(NotImplementedError, match="pretrained"):
+        LPIPS()

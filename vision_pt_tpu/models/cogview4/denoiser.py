@@ -25,6 +25,7 @@ from ...ops.timestep.embedding import (
     TimestepEmbedding,
     get_timestep_embedding,
 )
+from ...ops.offload import LayerwiseOffloadStrategy, OffloadableModuleMixin
 from .config import DenoiserConfig
 
 
@@ -262,8 +263,9 @@ class FinalAdaLayerNorm(nnx.Module):
         return out.astype(hidden_states.dtype)
 
 
-class CogView4DiT(nnx.Module):
-    """Reference ``denoiser.py:526-667``."""
+class CogView4DiT(nnx.Module, OffloadableModuleMixin):
+    """Reference ``denoiser.py:526-667``; supports layer-group offload
+    (reference wires it at ``denoiser.py:637-642``)."""
 
     def __init__(self, config: DenoiserConfig, *, dtype=None,
                  param_dtype=jnp.float32, rngs: nnx.Rngs):
@@ -327,7 +329,9 @@ class CogView4DiT(nnx.Module):
             timestep, original_size, target_size, crop_coords,
             hidden_states.dtype,
         )
-        for block in self.transformer_blocks:
+        for i, block in enumerate(self.transformer_blocks):
+            if self.offload_strategy is not None:
+                self.maybe_offload_by_group(list(self.transformer_blocks), i)
             hidden_states, encoder_hidden_states = block(
                 hidden_states, encoder_hidden_states, global_cond,
                 rope_cos, rope_sin,

@@ -37,8 +37,10 @@ from .vae import VAE
 
 
 @nnx.jit
-def _denoise_step(denoiser, latents, timestep, ehs, pooled, osz, tsz, crop):
-    return denoiser(latents, timestep, ehs, pooled, osz, tsz, crop)
+def _denoise_step(denoiser, latents, timestep, ehs, pooled, osz, tsz, crop,
+                  cross_attention_kwargs=None):
+    return denoiser(latents, timestep, ehs, pooled, osz, tsz, crop,
+                    cross_attention_kwargs=cross_attention_kwargs)
 
 
 def _fix_vae_attention_projections(sd: dict[str, np.ndarray]) -> dict:
@@ -58,6 +60,7 @@ class SDXLModel:
     """Reference ``pipeline.py:25-418``."""
 
     denoiser_class: type[Denoiser] = Denoiser
+    text_encoder_class: type[TextEncoder] = TextEncoder
 
     def __init__(self, config: SDXLConfig, *, dtype=None,
                  param_dtype=jnp.float32, rngs: nnx.Rngs | None = None):
@@ -91,7 +94,7 @@ class SDXLModel:
                 CLIPTextConfig(**config.text_encoder_2_config)
                 if config.text_encoder_2_config else TEXT_ENCODER_2_CONFIG
             )
-            self.text_encoder = TextEncoder(
+            self.text_encoder = self.text_encoder_class(
                 CLIPTextModel(c1, dtype=dtype, param_dtype=param_dtype, rngs=rngs),
                 None,
                 CLIPTextModel(c2, with_projection=True, dtype=dtype,
@@ -99,7 +102,7 @@ class SDXLModel:
                 None,
             )
         else:
-            self.text_encoder = TextEncoder.from_default(
+            self.text_encoder = self.text_encoder_class.from_default(
                 dtype=dtype, param_dtype=param_dtype, rngs=rngs
             )
         self.scheduler = Scheduler()
@@ -257,6 +260,9 @@ class SDXLModel:
         execution_dtype=jnp.bfloat16,
         do_offloading: bool = False,  # accepted for API compat; HBM fits SDXL
         return_latents: bool = False,
+        cross_attention_kwargs: dict | None = None,
+        extra_context_tokens: jax.Array | None = None,
+        _encode_prompts_kwargs: dict | None = None,
     ) -> list[Image.Image] | jax.Array:
         do_cfg = cfg_scale > 1.0
         timesteps, sigmas = self.prepare_timesteps(num_inference_steps)
@@ -268,6 +274,7 @@ class SDXLModel:
         encoder_output = self.text_encoder.encode_prompts(
             prompt, negative_prompt, use_negative_prompts=do_cfg,
             max_token_length=max_token_length,
+            **(_encode_prompts_kwargs or {}),
         )
         latents = self.prepare_latents(
             batch_size, height, width, execution_dtype,
@@ -276,6 +283,11 @@ class SDXLModel:
         )
         ehs, pooled = self.prepare_encoder_hidden_states(encoder_output, do_cfg)
         ehs = ehs.astype(execution_dtype)
+        if extra_context_tokens is not None:
+            # e.g. PFG image tokens, already batched [positive; negative]
+            ehs = jnp.concatenate(
+                [ehs, extra_context_tokens.astype(execution_dtype)], axis=1
+            )
         pooled = pooled.astype(execution_dtype)
         n = ehs.shape[0]
         osz = jnp.broadcast_to(
@@ -293,7 +305,8 @@ class SDXLModel:
             t_batch = jnp.full((latent_in.shape[0],), current_timestep,
                                dtype=jnp.float32)
             noise_pred = _denoise_step(
-                self.denoiser, latent_in, t_batch, ehs, pooled, osz, tsz, crop
+                self.denoiser, latent_in, t_batch, ehs, pooled, osz, tsz, crop,
+                cross_attention_kwargs,
             )
             if do_cfg:
                 pos_pred, neg_pred = jnp.split(noise_pred, 2, axis=0)

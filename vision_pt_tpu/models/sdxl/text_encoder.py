@@ -174,9 +174,49 @@ class CLIPTextModel(nnx.Module):
             if with_projection else None
         )
 
-    def __call__(self, input_ids: jax.Array) -> CLIPTextModelOutput:
+    def resize_token_embeddings(self, new_num_tokens: int) -> None:
+        """Grow the vocab (HF analog); new rows init to the mean embedding."""
+        emb = self.text_model.embeddings.token_embedding
+        table = emb.embedding.value
+        old = table.shape[0]
+        if new_num_tokens <= old:
+            return
+        mean = table.mean(axis=0, keepdims=True)
+        extra = jnp.tile(mean, (new_num_tokens - old, 1)).astype(table.dtype)
+        emb.embedding.value = jnp.concatenate([table, extra], axis=0)
+        if hasattr(emb, "num_embeddings"):
+            emb.num_embeddings = new_num_tokens
+        self.config.vocab_size = new_num_tokens
+
+    def __call__(
+        self,
+        input_ids: jax.Array,
+        style_embeddings: jax.Array | None = None,
+        style_token_id: int | None = None,
+    ) -> CLIPTextModelOutput:
         tm = self.text_model
-        x = tm.embeddings(input_ids)
+        if style_embeddings is not None:
+            # masked_scatter analog (reference style_tokenizer.py:82-111):
+            # replace every style-token embedding, in flat scan order, by the
+            # next row of style_embeddings. Static shapes: occurrence index
+            # via cumsum, gather, select.
+            assert style_token_id is not None
+            tok = tm.embeddings.token_embedding(input_ids)
+            hidden = tok.shape[-1]
+            flat_mask = (input_ids == style_token_id).reshape(-1)
+            flat_styles = style_embeddings.reshape(-1, hidden)
+            occ = jnp.cumsum(flat_mask.astype(jnp.int32)) - 1
+            gathered = flat_styles[
+                jnp.clip(occ, 0, flat_styles.shape[0] - 1)
+            ].astype(tok.dtype)
+            flat_tok = jnp.where(
+                flat_mask[:, None], gathered, tok.reshape(-1, hidden)
+            )
+            tok = flat_tok.reshape(tok.shape)
+            pos = jnp.arange(input_ids.shape[1])[None]
+            x = tok + tm.embeddings.position_embedding(pos)
+        else:
+            x = tm.embeddings(input_ids)
         seq = input_ids.shape[1]
         causal = jnp.triu(
             jnp.full((seq, seq), jnp.finfo(jnp.float32).min), k=1

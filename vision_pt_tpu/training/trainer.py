@@ -62,9 +62,11 @@ class Trainer:
 
         self.global_step = 0
         self.current_epoch = 0
-        self._train_key = jax.random.key(config.seed)
+        self._base_key = jax.random.key(config.seed)
+        self._key_counter = 0
         self._jit_train_step = None
         self._jit_update_ema = None
+        self.checkpointer = None
 
     # ------------------------------------------------------------ setup
 
@@ -221,6 +223,46 @@ class Trainer:
         self.prepare_preview_strategy()
         self.prepare_optimizer()
         self._build_train_step()
+        self.prepare_checkpointing()
+
+    def prepare_checkpointing(self):
+        """Full train-state checkpoint/resume (params+opt+EMA+step+RNG) — an
+        improvement over the reference, which never saves optimizer state."""
+        ckpt_cfg = self.config.trainer.checkpointing
+        if ckpt_cfg.save_dir is None:
+            return
+        from .checkpoint import TrainStateCheckpointer
+
+        self.checkpointer = TrainStateCheckpointer(
+            ckpt_cfg.save_dir, keep=ckpt_cfg.keep
+        )
+        if ckpt_cfg.resume and self.checkpointer.latest_step() is not None:
+            meta = self.checkpointer.restore(
+                self.model.trainable(), self.optimizer, self.ema_state
+            )
+            if meta.get("_ema") is not None:
+                self.ema_state = meta["_ema"]
+            self.global_step = int(meta.get("global_step", meta["_restored_step"]))
+            self.current_epoch = int(meta.get("epoch", 0))
+            self._key_counter = int(meta.get("key_counter", self.global_step))
+            if hasattr(self.train_dataset, "set_epoch"):
+                self.train_dataset.set_epoch(self.current_epoch)
+            print(f"[checkpoint] resumed from step {self.global_step}")
+
+    def save_train_state(self):
+        if self.checkpointer is None:
+            return
+        self.checkpointer.save(
+            self.global_step,
+            self.model.trainable(),
+            self.optimizer,
+            self.ema_state,
+            metadata={
+                "global_step": self.global_step,
+                "epoch": self.current_epoch,
+                "key_counter": self._key_counter,
+            },
+        )
 
     def prepare_saving_strategy(self):
         if self.config.saving is None:
@@ -249,8 +291,9 @@ class Trainer:
     # ------------------------------------------------------------ loop
 
     def _next_key(self) -> jax.Array:
-        self._train_key, sub = jax.random.split(self._train_key)
-        return sub
+        # counter-derived keys so checkpoint/resume reproduces the RNG stream
+        self._key_counter += 1
+        return jax.random.fold_in(self._base_key, self._key_counter)
 
     def training_loop(self):
         assert self.model is not None and self.optimizer is not None
@@ -266,9 +309,16 @@ class Trainer:
             return
 
         trainable = self.model.trainable()
-        total = self.steps_per_epoch * cfg.num_train_epochs
+        # resume: skip fully-completed epochs (a partially-completed epoch is
+        # restarted from its beginning — its first steps replay)
+        start_epoch = 0
+        if self.global_step and self.steps_per_epoch:
+            start_epoch = min(
+                self.global_step // self.steps_per_epoch, cfg.num_train_epochs
+            )
+        total = self.steps_per_epoch * (cfg.num_train_epochs - start_epoch)
         pbar = tqdm(total=total, desc="train")
-        for epoch in range(cfg.num_train_epochs):
+        for epoch in range(start_epoch, cfg.num_train_epochs):
             self.current_epoch = epoch
             self.model.before_train_epoch()
             for batch in self.train_dataset:
@@ -297,6 +347,13 @@ class Trainer:
 
                 self.call_saving_callbacks()
                 self.call_preview_callbacks()
+                ckpt_cfg = self.config.trainer.checkpointing
+                if (
+                    self.checkpointer is not None
+                    and ckpt_cfg.per_steps
+                    and self.global_step % ckpt_cfg.per_steps == 0
+                ):
+                    self.save_train_state()
 
                 if debug == "1step":
                     print("debug_mode=1step: stopping after one step")
