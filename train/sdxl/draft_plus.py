@@ -1,0 +1,30 @@
+"""SDXL DRaFT+ training entry point (rebuild of reference
+``train/sdxl/draft_plus.py``)."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import click
+
+from vision_pt_tpu.config import TrainConfig
+from vision_pt_tpu.data.preview import TextToImagePreviewConfig
+from vision_pt_tpu.data.text_to_image import TextToImageDatasetConfig
+from vision_pt_tpu.training.trainer import Trainer
+from vision_pt_tpu.workloads.sdxl_draft_plus import SDXLDRaFTPlusTraining
+
+
+@click.command()
+@click.option("--config", "config_path", type=str, required=True)
+def main(config_path: str):
+    config = TrainConfig.from_config_file(config_path)
+    trainer = Trainer(config)
+    trainer.register_train_dataset_class(TextToImageDatasetConfig)
+    trainer.register_preview_dataset_class(TextToImagePreviewConfig)
+    trainer.register_model_class(SDXLDRaFTPlusTraining)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

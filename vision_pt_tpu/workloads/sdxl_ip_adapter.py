@@ -156,3 +156,14 @@ class SDXLIPAdapterSelfTraining(SDXLForTextToImageTraining):
 class SDXLIPAdapterRefTraining(SDXLIPAdapterSelfTraining):
     """Reference-image variant (reference ``ip_adapter.ref.py``); expects
     'reference_image' in the batch (ReferencedTextToImage dataset)."""
+
+
+class SDXLIPAdapterKyaraTraining(SDXLIPAdapterRefTraining):
+    """Character-reference variant (reference ``ip_adapter.kyara.py``): no
+    random image dropping, reference images arrive pre-normalized. The
+    upstream ``src/dataset/kyara.py`` is missing from the reference repo;
+    this uses the referenced text-to-image dataset instead."""
+
+    def setup_model(self):
+        super().setup_model()
+        self.model_config.drop_image_rate = 0.0
