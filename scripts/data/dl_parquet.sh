@@ -1,0 +1,6 @@
+#!/bin/bash
+# Launcher (rebuild of reference scripts/data/dl_parquet.sh). No accelerate: JAX owns the
+# devices; multi-chip parallelism comes from the mesh config, not a launcher.
+set -euo pipefail
+cd "$(dirname "$0")/../../"
+python tools/data/download.py --source safebooru_parquet "$@"

@@ -1,0 +1,6 @@
+#!/bin/bash
+# Launcher (rebuild of reference scripts/inference/inference_cli.sh). No accelerate: JAX owns the
+# devices; multi-chip parallelism comes from the mesh config, not a launcher.
+set -euo pipefail
+cd "$(dirname "$0")/../../"
+python tools/inference_cli.py "$@"

@@ -160,3 +160,52 @@ def test_gradient_checkpointing_trains(tmp_path):
         )
         assert np.isfinite(float(loss))
         break
+
+
+def test_schedule_free_training_and_eval_swap(tmp_path):
+    """Schedule-free optimizer trains; save uses the eval (x) params
+    (reference optimizer.eval()/train() around save/preview)."""
+    config = _make_config(tmp_path)
+    config.optimizer = OptimizerConfig(
+        name="schedulefree.RAdamScheduleFree", args={"lr": 2e-3}
+    )
+    config.num_train_epochs = 1
+    trainer = Trainer(config)
+    trainer.register_train_dataset_class(SyntheticClassImageDatasetConfig)
+    config.dataset = {
+        "num_classes": 4, "num_items": 16, "image_size": 16, "batch_size": 8,
+    }
+    trainer.register_model_class(JiTForClassToImageTraining)
+    trainer.before_train()
+    assert trainer._schedule_free
+
+    from flax import nnx
+    import jax.numpy as jnp
+
+    trainable = trainer.model.trainable()
+    for batch in trainer.train_dataset:
+        key = trainer._next_key()
+        arrays = trainer.model.prepare_batch(batch, key)
+        loss, _ = trainer._jit_train_step(
+            trainable, trainer.optimizer, arrays, key
+        )
+    assert np.isfinite(float(loss))
+
+    def snapshot():
+        # nnx.update mutates Variables in place -> copy values out
+        return [
+            np.asarray(v.value)
+            for _, v in nnx.to_flat_state(nnx.state(trainable, trainer._wrt))
+        ]
+
+    before = snapshot()
+    original = trainer._swap_in_schedule_free_eval_params()
+    assert original is not None
+    swapped = snapshot()
+    diff = max(
+        float(np.abs(a - b).max()) for a, b in zip(before, swapped)
+    )
+    assert diff > 0.0  # x params differ from y params after training
+    nnx.update(trainable, original)
+    for a, b in zip(before, snapshot()):
+        np.testing.assert_array_equal(a, b)

@@ -54,16 +54,12 @@ def _translate_args(args: dict) -> dict:
 
 
 def _build(name: str, args: dict) -> optax.GradientTransformation:
-    if name == "schedule_free_adamw":
+    if name in ("schedule_free_adamw", "schedule_free_radam"):
+        # schedule_free_radam's closest optax analog is the schedule-free
+        # AdamW wrapper. NOTE: warmup_steps=0 makes optax build a zero-length
+        # warmup schedule that stays at lr=0 forever — pass None instead.
         lr = args.pop("learning_rate", 1e-3)
-        warmup = args.pop("warmup_steps", 0)
-        return optax.contrib.schedule_free_adamw(
-            learning_rate=lr, warmup_steps=warmup, **args
-        )
-    if name == "schedule_free_radam":
-        # closest optax analog: schedule-free wrapper around radam-like adamw
-        lr = args.pop("learning_rate", 1e-3)
-        warmup = args.pop("warmup_steps", 0)
+        warmup = args.pop("warmup_steps", 0) or None
         return optax.contrib.schedule_free_adamw(
             learning_rate=lr, warmup_steps=warmup, **args
         )

@@ -184,6 +184,9 @@ class Trainer:
             wrt = nnx.Param
         self._wrt = wrt
         self.optimizer = nnx.Optimizer(self.model.trainable(), tx, wrt=wrt)
+        from .optimizer import is_schedule_free
+
+        self._schedule_free = is_schedule_free(cfg.optimizer.name)
 
         if cfg.trainer.use_ema:
             self.ema_state = ema_lib.init_ema(self.model.trainable())
@@ -376,8 +379,39 @@ class Trainer:
             return
         self._save_model(self.current_epoch + 1, self.global_step)
 
+    def _swap_in_schedule_free_eval_params(self):
+        """Schedule-free optimizers train on the y sequence; evaluation uses
+        the interpolated x params (the reference calls optimizer.eval() —
+        ``src/trainer/common.py:276-306``). Returns the original params to
+        restore, or None when not schedule-free."""
+        if not getattr(self, "_schedule_free", False) or self.optimizer is None:
+            return None
+        import optax
+
+        trainable = self.model.trainable()
+        params = nnx.state(trainable, self._wrt)
+        # optax works on raw pytrees; unwrap the nnx Variables on both sides
+        unwrap = lambda x: x.value if isinstance(x, nnx.Variable) else x  # noqa: E731
+        is_var = lambda x: isinstance(x, nnx.Variable)  # noqa: E731
+        pure_params = jax.tree.map(unwrap, params, is_leaf=is_var)
+        pure_opt = jax.tree.map(
+            unwrap, self.optimizer.opt_state, is_leaf=is_var
+        )
+        eval_params = optax.contrib.schedule_free_eval_params(
+            pure_opt, pure_params
+        )
+        wrap = lambda var, val: type(var)(val, **var.get_metadata())  # noqa: E731
+        # detach the originals BEFORE updating: nnx.update mutates the same
+        # Variable objects that `params` references (jax arrays themselves
+        # are immutable, so pure_params survives)
+        original = jax.tree.map(wrap, params, pure_params, is_leaf=is_var)
+        swapped = jax.tree.map(wrap, params, eval_params, is_leaf=is_var)
+        nnx.update(trainable, swapped)
+        return original
+
     def _save_model(self, epoch: int, steps: int):
         self.model.before_save_model()
+        original_params = self._swap_in_schedule_free_eval_params()
         state_dict = self.model.get_state_dict_to_save()
         for old, new in (self.config.saving.rename_key_map or {}).items():
             state_dict = {k.replace(old, new): v for k, v in state_dict.items()}
@@ -385,6 +419,8 @@ class Trainer:
         for cb in self.saving_callbacks:
             path = cb.save(state_dict, epoch, steps, metadata=metadata or None)
             print(f"[saving] wrote {path}")
+        if original_params is not None:
+            nnx.update(self.model.trainable(), original_params)
         if self.ema_state is not None:
             # EMA copies go to an ema_-prefixed file (reference
             # ``src/trainer/common.py:160-164``)
@@ -408,6 +444,7 @@ class Trainer:
         ):
             return
         self.model.before_preview()
+        original_params = self._swap_in_schedule_free_eval_params()
         for i, args in enumerate(self.preview_args):
             images = self.model.preview_step(args, i)
             for cb in self.preview_callbacks:
@@ -417,6 +454,8 @@ class Trainer:
                     tracker.log_image(
                         f"preview/{i}_{j}", img, self.global_step
                     )
+        if original_params is not None:
+            nnx.update(self.model.trainable(), original_params)
         self.model.after_preview()
 
     # ------------------------------------------------------------ entry
