@@ -114,6 +114,7 @@ class TextToImageBucket(Bucket):
         num_repeats: int = 1,
         caption_processors: CaptionProcessorList = [],
         seed: int = 0,
+        use_native_loader: bool = True,
     ):
         super().__init__(items, batch_size, num_repeats)
         self.width = int(width)
@@ -121,15 +122,48 @@ class TextToImageBucket(Bucket):
         self.do_upscale = do_upscale
         self.caption_processors = caption_processors
         self.resize = ObjectCoverResize(self.width, self.height, do_upscale)
+        self.use_native_loader = use_native_loader
         self._rng = np.random.default_rng(seed)
+
+    def _load_native(self, path) -> tuple[np.ndarray, int, int, int, int] | None:
+        """Fused C decode+cover-resize+crop (native/image_loader.cpp); None
+        falls back to the PIL path."""
+        from . import native_image
+
+        if not (self.use_native_loader and native_image.supports(path)
+                and native_image.native_available()):
+            return None
+        size = native_image.probe_size(path)
+        if size is None:
+            return None
+        w, h = size
+        scale = max(self.width / w, self.height / h)
+        if scale > 1.0 and not self.do_upscale:
+            return None  # no-upscale semantics differ; PIL path handles it
+        cw, ch = native_image.cover_dims(w, h, self.width, self.height)
+        top = int(self._rng.integers(0, max(ch - self.height, 0) + 1))
+        left = int(self._rng.integers(0, max(cw - self.width, 0) + 1))
+        rgb = native_image.load_cover_crop(
+            path, self.width, self.height, left, top
+        )
+        if rgb is None:
+            return None
+        arr = rgb.astype(np.float32) / 127.5 - 1.0
+        return arr, ch, cw, top, left
 
     def load_item(self, idx: int) -> dict:
         item = self.get_item(idx)
-        with Image.open(item["image"]) as pil:
-            resized = self.resize(pil)
-            arr = to_array(resized)
-        orig_h, orig_w = arr.shape[:2]
-        crop, (top, left) = random_crop(arr, self.height, self.width, self._rng)
+        native = self._load_native(item["image"])
+        if native is not None:
+            crop, orig_h, orig_w, top, left = native
+        else:
+            with Image.open(item["image"]) as pil:
+                resized = self.resize(pil)
+                arr = to_array(resized)
+            orig_h, orig_w = arr.shape[:2]
+            crop, (top, left) = random_crop(
+                arr, self.height, self.width, self._rng
+            )
         caption = apply_caption_processors(
             item["caption"], self.caption_processors, self._rng
         )
@@ -157,6 +191,7 @@ class TextToImageDatasetConfig(AspectRatioBucketConfig):
     caption_processors: CaptionProcessorList = []
     imagesize_cache_path: str | None = None
     seed: int = 0
+    use_native_loader: bool = True  # C decode path (native/image_loader.cpp)
 
     # -------------------------------------------------- imagesize cache
 
@@ -298,6 +333,7 @@ class TextToImageDatasetConfig(AspectRatioBucketConfig):
                     num_repeats=self.num_repeats,
                     caption_processors=self.caption_processors,
                     seed=self.seed,
+                    use_native_loader=self.use_native_loader,
                 )
             )
         return buckets
