@@ -601,9 +601,9 @@ class JiT(nnx.Module):
         size_info = jnp.concatenate(
             [original_size, target_size, crop_coords], axis=1
         )  # (B, 6)
-        flat = size_info.reshape(-1)
-        embed = self.image_size_embedder(flat)
-        return embed.reshape(-1, 6, self.config.hidden_size)
+        # batched embed (no reshape(-1): flattening batch into the token axis
+        # forces an SPMD full remat when the batch axis is mesh-sharded)
+        return self.image_size_embedder(size_info)
 
     def unpatchify(self, patches: jax.Array, height: int, width: int) -> jax.Array:
         """JiT's final-layer patches use (ph, pw, c) feature ordering — NOTE:

@@ -618,9 +618,11 @@ class UNet(nnx.Module):
         time_embed = self.time_embed(time_embed.astype(dtype))
 
         batch = text_pooler_output.shape[0]
+        # batched sincos (no reshape(-1): flattening batch into the element
+        # axis forces an SPMD full remat when the batch axis is mesh-sharded)
         additional = jnp.concatenate(
             [original_size, crop_coords, target_size], axis=1
-        ).reshape(-1)
+        )  # (B, 6)
         additional = self.get_timestep_embedding(
             additional, self.additional_cond_dim
         ).reshape(batch, -1)

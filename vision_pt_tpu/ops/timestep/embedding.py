@@ -23,21 +23,25 @@ def get_timestep_embedding(
 ) -> jax.Array:
     """DDPM sinusoidal embedding, matching reference ``embedding.py:10-62``.
 
-    Returns (N, embedding_dim) fp32: [sin | cos] (or [cos | sin] if flipped),
-    zero-padded if embedding_dim is odd.
+    Returns (*timesteps.shape, embedding_dim) fp32: [sin | cos] (or
+    [cos | sin] if flipped), zero-padded if embedding_dim is odd. Leading
+    dims are preserved (no batch flattening — flattening the batch axis into
+    the element axis forces an SPMD full-rematerialization when the batch is
+    sharded over a mesh).
     """
-    assert timesteps.ndim == 1, "timesteps should be a 1d array"
     half_dim = embedding_dim // 2
     exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
     exponent = exponent / (half_dim - downscale_freq_shift)
     emb = jnp.exp(exponent)
-    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = timesteps.astype(jnp.float32)[..., None] * emb
     emb = scale * emb
     emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
     if flip_sin_to_cos:
-        emb = jnp.concatenate([emb[:, half_dim:], emb[:, :half_dim]], axis=-1)
+        emb = jnp.concatenate(
+            [emb[..., half_dim:], emb[..., :half_dim]], axis=-1
+        )
     if embedding_dim % 2 == 1:
-        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+        emb = jnp.pad(emb, [(0, 0)] * (emb.ndim - 1) + [(0, 1)])
     return emb
 
 
