@@ -79,23 +79,74 @@ def fsdp_partition_spec(
     return P()
 
 
+# megatron-style tensor parallelism by param-path rules: column-parallel
+# layers (qkv / MLP up+gate) shard the OUTPUT features, row-parallel layers
+# (attention out / MLP down) shard the INPUT features; GSPMD then inserts one
+# all-reduce after each row-parallel matmul. flax Linear kernels are
+# (in_features, out_features).
+_TP_COLUMN_NAMES = (
+    "to_q", "to_k", "to_v", "w_1", "w_2",  # JiT attention + SwiGLU up/gate
+    "q_proj", "k_proj", "v_proj", "gate_up_proj",  # decoder LM
+    "fc1", "geglu",  # CLIP MLP / SDXL GeGLU
+)
+_TP_ROW_NAMES = (
+    "to_o", "w_3",  # JiT
+    "o_proj", "down_proj",  # decoder LM
+    "fc2", ".out.",  # CLIP / SDXL FF down
+    "to_out",
+)
+
+
+def tensor_partition_spec(path: str, shape: tuple[int, ...], mesh: Mesh,
+                          axis: str = "tensor") -> P | None:
+    """TP spec for a kernel at ``path`` (dotted nnx path), or None if the
+    param isn't a TP target. Only 2D kernels participate; biases of
+    column-parallel layers shard with the output features."""
+    if mesh.shape[axis] == 1:
+        return None
+    size = mesh.shape[axis]
+    is_kernel = path.endswith(".kernel")
+    is_bias = path.endswith(".bias")
+    if not (is_kernel or is_bias):
+        return None
+    column = any(n in path for n in _TP_COLUMN_NAMES)
+    row = any(n in path for n in _TP_ROW_NAMES)
+    if column and shape[-1] % size == 0:
+        spec: list[Any] = [None] * len(shape)
+        spec[-1] = axis
+        return P(*spec)
+    if row and is_kernel and len(shape) == 2 and shape[0] % size == 0:
+        return P(axis, None)
+    if row and is_bias:
+        return P()  # row-parallel bias is added after the all-reduce
+    return None
+
+
 def shard_module(
     module: nnx.Module,
     mesh: Mesh,
     axis: str = "fsdp",
     min_size_to_shard: int = 2**14,
 ) -> None:
-    """Place every Param of an nnx module with an FSDP NamedSharding
-    (in place). Optimizer state created afterwards inherits the placement."""
-    state = nnx.state(module)
+    """Place every Param of an nnx module (in place): tensor-parallel rules
+    first (when the mesh has a tensor axis >1), FSDP for the rest. Optimizer
+    state created afterwards inherits the placement."""
+    flat = nnx.to_flat_state(nnx.state(module))
 
-    def place(x):
+    placed = []
+    for path_tuple, var in flat:
+        x = var.value
         if isinstance(x, jax.Array) and x.ndim > 0:
-            spec = fsdp_partition_spec(x.shape, mesh, axis, min_size_to_shard)
-            return jax.device_put(x, NamedSharding(mesh, spec))
-        return x
+            path = ".".join(str(p) for p in path_tuple)
+            spec = tensor_partition_spec(path, x.shape, mesh)
+            if spec is None:
+                spec = fsdp_partition_spec(
+                    x.shape, mesh, axis, min_size_to_shard
+                )
+            var.value = jax.device_put(x, NamedSharding(mesh, spec))
+        placed.append((path_tuple, var))
 
-    nnx.update(module, jax.tree.map(place, state))
+    nnx.update(module, nnx.from_flat_state(placed))
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
