@@ -71,7 +71,11 @@ def fsdp_partition_spec(
     size = mesh.shape[axis]
     if size == 1 or int(np.prod(shape)) < min_size_to_shard:
         return P()
-    for i in sorted(range(len(shape)), key=lambda i: -shape[i]):
+    # prefer the FIRST divisible axis (in_features for Linear kernels):
+    # sharding a kernel's output axis propagates onto the activation-gradient
+    # last dim, which collides with batch-sharded image-side layouts at
+    # reshape boundaries (unpatchify) and triggers SPMD full remats
+    for i in range(len(shape)):
         if shape[i] % size == 0:
             spec: list[Any] = [None] * len(shape)
             spec[i] = axis
