@@ -94,6 +94,12 @@ class TrainerConfig(BaseModel):
 
     checkpointing: CheckpointingConfig = CheckpointingConfig()
 
+    # observability (SURVEY §5: the reference has no tracer/sanitizer in the
+    # train path; these are the cheap JAX equivalents)
+    debug_nans: bool = False  # jax_debug_nans: fail fast on the first NaN
+    profile_dir: str | None = None  # write a jax.profiler trace here
+    profile_steps: int = 5  # trace this many steps after warmup
+
 
 class TrainConfig(BaseModel):
     model: dict | BaseModel

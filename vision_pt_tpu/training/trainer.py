@@ -220,6 +220,9 @@ class Trainer:
         self._jit_update_ema = update_ema if use_ema else None
 
     def before_train(self):
+        if self.config.trainer.debug_nans:
+            # fail fast on the first NaN anywhere in the step (SURVEY §5)
+            jax.config.update("jax_debug_nans", True)
         self.prepare_dataloaders()
         self.prepare_model()
         self.prepare_saving_strategy()
@@ -298,6 +301,29 @@ class Trainer:
         self._key_counter += 1
         return jax.random.fold_in(self._base_key, self._key_counter)
 
+    def _maybe_profile(self):
+        """jax.profiler trace of steps [1, 1+profile_steps) when profile_dir
+        is set — step 0 is the compile, never worth tracing. Best-effort:
+        remote-tunneled TPU platforms may not support the profiler."""
+        cfg = self.config.trainer
+        if cfg.profile_dir is None:
+            return
+        try:
+            if self.global_step == 1:
+                jax.profiler.start_trace(cfg.profile_dir)
+                self._profiling = True
+            elif (
+                getattr(self, "_profiling", False)
+                and self.global_step >= 1 + cfg.profile_steps
+            ):
+                jax.profiler.stop_trace()
+                self._profiling = False
+                print(f"[profiler] trace written to {cfg.profile_dir}")
+        except Exception as e:  # noqa: BLE001
+            self._profiling = False
+            print(f"[profiler] unavailable on this platform: {e}")
+            self.config.trainer.profile_dir = None
+
     def training_loop(self):
         assert self.model is not None and self.optimizer is not None
         cfg = self.config
@@ -326,6 +352,8 @@ class Trainer:
             self.model.before_train_epoch()
             for batch in self.train_dataset:
                 self.model.before_train_step()
+                self._maybe_profile()
+                step_t0 = time.perf_counter()
                 key = self._next_key()
                 arrays = self.model.prepare_batch(batch, key)
                 if self.mesh is not None:
@@ -338,6 +366,10 @@ class Trainer:
                 self.global_step += 1
 
                 self.model.log("train/loss", loss, on_step=True, on_epoch=True)
+                self.model.log(
+                    "train/step_time", time.perf_counter() - step_t0,
+                    on_step=True,
+                )
                 for name, value in metrics.items():
                     self.model.log(f"train/{name}", value, on_step=True)
                 if self.lr_schedule is not None:
