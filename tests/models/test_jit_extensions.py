@@ -183,7 +183,8 @@ def test_uvit_parity_with_reference():
     jmodel = UJiT(UJiTDenoiserConfig(**kw), rngs=nnx.Rngs(0))
     load_flat_state(
         jmodel,
-        torch_to_nnx({k: v.detach().numpy() for k, v in tmodel.state_dict().items()}),
+        torch_to_nnx({k: v.detach().numpy() for k, v in tmodel.state_dict().items()},
+                     rope_head_dim=32),
         strict=True,
     )
     rng = np.random.default_rng(0)

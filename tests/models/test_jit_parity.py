@@ -85,7 +85,8 @@ def test_forward_parity_with_reference(reference_modules, overrides):
     jmodel = JaxDenoiser(DenoiserConfig(**kw), rngs=nnx.Rngs(0))
     load_flat_state(
         jmodel,
-        torch_to_nnx({k: v.detach().numpy() for k, v in tmodel.state_dict().items()}),
+        torch_to_nnx({k: v.detach().numpy() for k, v in tmodel.state_dict().items()},
+                     rope_head_dim=32),
         strict=True,
     )
 

@@ -25,12 +25,50 @@ _MLP_SEQ_TO_LINEAR = [
     ("image_size_embedder.mlp.2.", "image_size_embedder.linear_2."),
 ]
 
+# our apply_rope uses the rotate-half convention on a DEINTERLEAVED head-dim
+# layout (2.2x faster on TPU than the reference's interleaved pairs, see
+# denoiser.apply_rope); checkpoint interop folds the fixed permutation into
+# the q/k projections + qk-norm scales. Attention scores are invariant (q
+# and k permute identically), so model outputs match the reference exactly.
+_ROPE_PERMUTE_SUFFIXES = (
+    ".to_q.weight", ".to_k.weight", ".to_q.bias", ".to_k.bias",
+    ".q_norm.weight", ".k_norm.weight",
+)
 
-def torch_to_nnx(torch_sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
-    """Torch-layout flat dict -> NNX-layout flat dict (dotted keys)."""
+
+def _rope_deint_perm(head_dim: int, inverse: bool = False) -> np.ndarray:
+    perm = np.concatenate(
+        [np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)]
+    )
+    return np.argsort(perm) if inverse else perm
+
+
+def _permute_rope_param(value: np.ndarray, head_dim: int,
+                        inverse: bool = False) -> np.ndarray:
+    """Permute the OUT-features axis (torch layout: rows for 2D weights)
+    within each head block."""
+    perm = _rope_deint_perm(head_dim, inverse)
+    if value.ndim == 1:
+        return value.reshape(-1, head_dim)[:, perm].reshape(value.shape)
+    return value.reshape(-1, head_dim, value.shape[1])[:, perm, :].reshape(
+        value.shape
+    )
+
+
+def torch_to_nnx(
+    torch_sd: dict[str, np.ndarray],
+    rope_head_dim: int | None = None,
+) -> dict[str, np.ndarray]:
+    """Torch-layout flat dict -> NNX-layout flat dict (dotted keys).
+
+    ``rope_head_dim``: pass the attention head dim for rope-positional models
+    to fold the deinterleave permutation into q/k params (leave None for
+    PoPE/NoPE variants, whose attention does not use apply_rope)."""
     out: dict[str, np.ndarray] = {}
     for key, value in torch_sd.items():
         value = np.asarray(value)
+        if rope_head_dim is not None and key.endswith(_ROPE_PERMUTE_SUFFIXES):
+            value = _permute_rope_param(value, rope_head_dim)
         new_key = key
         for old, new in _MLP_SEQ_TO_LINEAR:
             if old in new_key:
@@ -55,9 +93,13 @@ def torch_to_nnx(torch_sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
     return out
 
 
-def nnx_to_torch(nnx_sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+def nnx_to_torch(
+    nnx_sd: dict[str, np.ndarray],
+    rope_head_dim: int | None = None,
+) -> dict[str, np.ndarray]:
     """NNX-layout flat dict -> torch-layout flat dict (for checkpoint export
-    that the PyTorch reference can load)."""
+    that the PyTorch reference can load). ``rope_head_dim`` un-applies the
+    rotate-half deinterleave permutation (see :func:`torch_to_nnx`)."""
     out: dict[str, np.ndarray] = {}
     for key, value in nnx_sd.items():
         value = np.asarray(value)
@@ -82,6 +124,12 @@ def nnx_to_torch(nnx_sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
             out[new_key.replace(".kernel", ".weight")] = value.T
         else:
             out[new_key] = value
+    if rope_head_dim is not None:
+        for k in list(out):
+            if k.endswith(_ROPE_PERMUTE_SUFFIXES):
+                out[k] = _permute_rope_param(
+                    out[k], rope_head_dim, inverse=True
+                )
     return out
 
 
@@ -89,9 +137,10 @@ def nnx_to_torch_with_conv_shape(
     nnx_sd: dict[str, np.ndarray],
     patch_size: int,
     in_channels: int,
+    rope_head_dim: int | None = None,
 ) -> dict[str, np.ndarray]:
     """Like :func:`nnx_to_torch` but restores the 4D conv shape of proj_1."""
-    out = nnx_to_torch(nnx_sd)
+    out = nnx_to_torch(nnx_sd, rope_head_dim=rope_head_dim)
     for key, value in list(out.items()):
         if key.endswith("patch_embedder.proj_1.weight") and value.ndim == 2:
             out[key] = value.reshape(

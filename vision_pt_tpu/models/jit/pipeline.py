@@ -94,7 +94,16 @@ class JiTModel:
             flat,
             patch_size=self.config.denoiser.patch_size,
             in_channels=self.config.denoiser.in_channels,
+            rope_head_dim=self._rope_head_dim(),
         )
+
+    def _rope_head_dim(self) -> int | None:
+        """Head dim for the rotate-half weight permutation (convert.py);
+        None for PoPE/NoPE variants, whose attention skips apply_rope."""
+        cfg = self.config.denoiser
+        if getattr(cfg, "positional_encoding", "rope") != "rope":
+            return None
+        return cfg.hidden_size // cfg.num_heads
 
     def save_checkpoint(self, path: str, metadata: dict[str, str] | None = None):
         from safetensors.numpy import save_file
@@ -106,7 +115,7 @@ class JiTModel:
         from safetensors.numpy import load_file
 
         torch_sd = load_file(checkpoint_path)
-        nnx_sd = torch_to_nnx(torch_sd)
+        nnx_sd = torch_to_nnx(torch_sd, rope_head_dim=self._rope_head_dim())
         for prefix, mod in self._submodules().items():
             sub = {
                 k[len(prefix) + 1 :]: v
