@@ -68,3 +68,29 @@ def test_preview_strategy():
     assert s.should_preview(1, 10)
     assert s.should_preview(2, 20)
     assert not s.should_preview(1, 5)
+
+
+def test_grid_video_safetensors_utils(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from vision_pt_tpu.utils.grid import images_to_grid_image
+    from vision_pt_tpu.utils.safetensors import load_file_with_rename_key_map
+    from vision_pt_tpu.utils.video import write_images_as_video
+
+    imgs = [Image.new("RGB", (16, 16), (i * 50, 0, 0)) for i in range(5)]
+    grid = images_to_grid_image(imgs, padding=2)
+    # 5 images -> 2 cols x 3 rows
+    assert grid.size == (2 * 18 + 2, 3 * 18 + 2)
+
+    video_path = str(tmp_path / "out.mp4")
+    write_images_as_video(imgs, video_path, fps=4)
+    assert (tmp_path / "out.mp4").stat().st_size > 0
+
+    from safetensors.numpy import save_file
+
+    save_file({"old.a": np.ones(2, np.float32)}, str(tmp_path / "w.st"))
+    sd = load_file_with_rename_key_map(
+        tmp_path / "w.st", {"old.": "new."}
+    )
+    assert "new.a" in sd
