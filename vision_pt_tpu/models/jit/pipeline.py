@@ -72,7 +72,14 @@ class JiTModel:
             )
             self.text_encoder = None
         else:
-            self.text_encoder = TextEncoder.from_default()
+            # local directory -> load weights; HF repo id -> gated (no egress)
+            pretrained = config.context_encoder.pretrained_model
+            import os
+
+            if os.path.isdir(pretrained):
+                self.text_encoder = TextEncoder.from_local(pretrained)
+            else:
+                self.text_encoder = TextEncoder.from_remote(pretrained)
             self.class_encoder = None
 
     # ---------------------------------------------------------- checkpoint
