@@ -35,6 +35,9 @@ class ImageEncoderConfig(BaseModel):
     model_name: str = "openai/clip-vit-large-patch14"
     feature_dim: int = 1024
     weights_path: str | None = None
+    # reference auto.py:18-19
+    feature_type: str = "pooler_output"  # "hidden_state" | "pooler_output"
+    hidden_state_index: int = -1
 
 
 class IPAdapterConfig(BaseModel):

@@ -27,14 +27,35 @@ class AutoImageEncoder:
     def _load_model(self):
         if self._encode_fn is not None:
             return
-        if getattr(self.config, "weights_path", None):
-            raise NotImplementedError(
-                "local vision-tower loading is tracked for a later round"
-            )
+        weights_path = getattr(self.config, "weights_path", None)
+        if weights_path:
+            import os
+
+            if not os.path.isdir(weights_path):
+                raise FileNotFoundError(
+                    f"weights_path {weights_path!r} is not a directory "
+                    "(expected HF layout: config.json + *.safetensors)"
+                )
+            from .clip_vision import CLIPVisionModel
+
+            model = CLIPVisionModel.from_local(weights_path)
+            feature_type = getattr(self.config, "feature_type",
+                                   "pooler_output")
+            index = getattr(self.config, "hidden_state_index", -1)
+
+            def encode(images):
+                out = model(images)
+                if feature_type == "hidden_state":
+                    return out.hidden_states[index]
+                return out.pooler_output
+
+            self._encode_fn = encode
+            return
         raise RuntimeError(
             "AutoImageEncoder needs pretrained vision weights "
             f"({getattr(self.config, 'model_name', '?')}); this environment "
-            "has no network egress. Provide weights_path or inject encode_fn."
+            "has no network egress. Provide weights_path (local HF dir, CLIP "
+            "vision towers supported) or inject encode_fn."
         )
 
     def __call__(self, images) -> jax.Array:
