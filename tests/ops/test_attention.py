@@ -126,3 +126,39 @@ def test_dispatch_bool_mask_xla():
         np.asarray(q), np.asarray(q), np.asarray(q), kv_lens=np.array([8, 5])
     )
     np.testing.assert_allclose(np.asarray(out), want, atol=2e-5)
+
+
+def test_short_attention_matches_xla():
+    """Whole-sequence-in-VMEM kernel (interpret mode on CPU) vs XLA."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vision_pt_tpu.ops.attention import dot_product_attention
+    from vision_pt_tpu.ops.short_attention import short_attention
+
+    B, S, H, D = 2, 37, 4, 16
+    key = jax.random.key(0)
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(key, i), (B, S, H, D))
+        for i in range(3)
+    )
+    kv_lens = jnp.asarray([37, 20], dtype=jnp.int32)
+    ref = dot_product_attention(
+        q, k, v, kv_lens=kv_lens, backend="xla", attention_dtype=None
+    )
+    out = short_attention(q, k, v, kv_lens, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def loss_new(q, k, v):
+        return (short_attention(q, k, v, kv_lens, interpret=True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (dot_product_attention(
+            q, k, v, kv_lens=kv_lens, backend="xla", attention_dtype=None
+        ) ** 2).sum()
+
+    gn = jax.grad(loss_new, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gn, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)

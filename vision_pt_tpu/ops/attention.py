@@ -18,8 +18,11 @@ import jax
 import jax.numpy as jnp
 
 from .flash_attention import flash_attention
+from .short_attention import MAX_SHORT_SEQ, short_attention
 
-AttentionImplementation = Literal["auto", "flash", "xla", "eager", "sdpa"]
+AttentionImplementation = Literal[
+    "auto", "flash", "short", "xla", "eager", "sdpa"
+]
 
 # fp32 q/k/v are cast to this dtype before attention (reference
 # ``attention.py:113-118`` casts to bf16). Overridable for parity testing via
@@ -212,6 +215,7 @@ def dot_product_attention(
     if backend in ("eager", "sdpa"):
         backend = "xla"
     if backend == "auto":
+        on_tpu = _on_tpu() or interpret
         # flash wins on long sequences (memory + 1.5x at S=4096); below ~1k
         # the kernel's block padding (S rounds up to the block multiple) costs
         # more than XLA's fused attention saves — measured on v5e: S=298
@@ -222,8 +226,13 @@ def dot_product_attention(
             and q.shape[-1] % 64 == 0
             and q.shape[1] >= 1024
             and k.shape[1] >= 1024
-            and (_on_tpu() or interpret)
+            and on_tpu
         )
+        # NOTE: the "short" whole-(S,S)-in-VMEM kernel measures 1.5x faster
+        # than XLA in isolation at S=298, but inside the full train step the
+        # BSHD<->BHSD transposes around the pallas call (a fusion barrier)
+        # cost more than it saves — auto stays on XLA below the flash
+        # threshold; pass backend="short" explicitly where it wins.
         backend = "flash" if flash_ok else "xla"
 
     if backend == "flash":
@@ -240,6 +249,13 @@ def dot_product_attention(
             causal=is_causal,
             interpret=interpret or not _on_tpu(),
         )
+    elif backend == "short":
+        if mask is not None or is_causal:
+            raise ValueError(
+                "short backend takes kv_lens only (no mask/causal)"
+            )
+        out = short_attention(q, k, v, kv_lens, scale,
+                              interpret or not _on_tpu())
     elif backend == "xla":
         if scale is None:
             scale = q.shape[-1] ** -0.5

@@ -1,0 +1,206 @@
+"""One-pass Pallas attention for SHORT sequences (S <= ~768).
+
+At DiT-scale sequence lengths (~300 tokens for 256^2 patch-16) the whole
+(S, S) score matrix fits in VMEM, so neither the forward nor the backward
+ever writes an S x S tensor to HBM — the dominant cost of both the XLA
+O(S^2) path (fp32 softmax-weight residuals, ~273 MB/layer at B=64) and the
+blockwise flash kernel (whose block padding wastes 40%+ MXU work at these
+lengths). Grid is (B, H); each program computes one head's attention
+entirely on-chip.
+
+Dispatch: `ops.attention.dot_product_attention` picks this kernel on TPU for
+mask-free / kv_lens inputs with S <= MAX_SHORT_SEQ; flash handles S >= 1024;
+XLA covers everything else.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+MAX_SHORT_SEQ = 768  # (S,S) f32 x ~3 live must fit VMEM (~16 MB/core)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ------------------------------------------------------------------ forward
+
+
+def _fwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale, sq, sk):
+    b = pl.program_id(0)
+    q = q_ref[0, 0].astype(jnp.float32)  # (Sq, D)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (Sq, Sk)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = col < kv_lens_ref[b]
+    s = jnp.where(valid, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+# ----------------------------------------------------------------- backward
+
+
+def _bwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, sq, sk):
+    b = pl.program_id(0)
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = col < kv_lens_ref[b]
+    s = jnp.where(valid, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / denom  # (Sq, Sk) f32
+
+    # dv = p^T @ do
+    dv = jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dp = do @ v^T
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - delta)
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------- plumbing
+
+
+def _pad_seq(x, target):
+    pad = target - x.shape[1]
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+
+
+def _run_fwd(q_bhsd, k_bhsd, v_bhsd, kv_lens, scale, interpret):
+    batch, heads, sq, dim = q_bhsd.shape
+    sk = k_bhsd.shape[2]
+    spec = pl.BlockSpec((1, 1, sq, dim), lambda b, h: (b, h, 0, 0))
+    kspec = pl.BlockSpec((1, 1, sk, dim), lambda b, h: (b, h, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, sq=sq, sk=sk),
+        grid=(batch, heads),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            spec, kspec, kspec,
+        ],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(q_bhsd.shape, q_bhsd.dtype),
+        interpret=interpret,
+    )(kv_lens, q_bhsd, k_bhsd, v_bhsd)
+
+
+def _run_bwd(q_bhsd, k_bhsd, v_bhsd, do_bhsd, kv_lens, scale, interpret):
+    batch, heads, sq, dim = q_bhsd.shape
+    sk = k_bhsd.shape[2]
+    qspec = pl.BlockSpec((1, 1, sq, dim), lambda b, h: (b, h, 0, 0))
+    kspec = pl.BlockSpec((1, 1, sk, dim), lambda b, h: (b, h, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, sq=sq, sk=sk),
+        grid=(batch, heads),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qspec, kspec, kspec, qspec,
+        ],
+        out_specs=[qspec, kspec, kspec],
+        out_shape=[
+            jax.ShapeDtypeStruct(q_bhsd.shape, q_bhsd.dtype),
+            jax.ShapeDtypeStruct(k_bhsd.shape, k_bhsd.dtype),
+            jax.ShapeDtypeStruct(v_bhsd.shape, v_bhsd.dtype),
+        ],
+        interpret=interpret,
+    )(kv_lens, q_bhsd, k_bhsd, v_bhsd, do_bhsd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def short_attention(q, k, v, kv_lens=None, scale=None, interpret=False):
+    """(B, Sq, H, D) attention, whole-sequence per program.
+
+    kv_lens: (B,) suffix key padding; scale defaults to D^-0.5.
+    """
+    out, _ = _short_fwd(q, k, v, kv_lens, scale, interpret)
+    return out
+
+
+def _prep(q, k, v, kv_lens):
+    batch, sq, heads, dim = q.shape
+    sk = k.shape[1]
+    if kv_lens is None:
+        kv_lens = jnp.full((batch,), sk, dtype=jnp.int32)
+    sq_p = _ceil_to(sq, 8)
+    sk_p = _ceil_to(sk, 8)
+    qb = _pad_seq(q, sq_p).transpose(0, 2, 1, 3)  # BHSD
+    kb = _pad_seq(k, sk_p).transpose(0, 2, 1, 3)
+    vb = _pad_seq(v, sk_p).transpose(0, 2, 1, 3)
+    return qb, kb, vb, kv_lens.astype(jnp.int32), sq, sk
+
+
+def _short_fwd(q, k, v, kv_lens, scale, interpret):
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    qb, kb, vb, lens, sq, sk = _prep(q, k, v, kv_lens)
+    out = _run_fwd(qb, kb, vb, lens, scale, interpret)
+    out = out.transpose(0, 2, 1, 3)[:, :sq]
+    return out, (q, k, v, kv_lens)
+
+
+def _short_bwd(scale, interpret, res, dout):
+    q, k, v, kv_lens = res
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    qb, kb, vb, lens, sq, sk = _prep(q, k, v, kv_lens)
+    dob = _pad_seq(dout.astype(q.dtype), qb.shape[2]).transpose(0, 2, 1, 3)
+    dq, dk, dv = _run_bwd(qb, kb, vb, dob, lens, scale, interpret)
+    dq = dq.transpose(0, 2, 1, 3)[:, :sq]
+    dk = dk.transpose(0, 2, 1, 3)[:, :sk]
+    dv = dv.transpose(0, 2, 1, 3)[:, :sk]
+    return dq, dk, dv, None
+
+
+short_attention.defvjp(
+    lambda q, k, v, kv_lens, scale, interpret: _short_fwd(
+        q, k, v, kv_lens, scale, interpret
+    ),
+    _short_bwd,
+)
