@@ -41,6 +41,15 @@ class Bucket:
         self.num_items = len(items)
         self.batch_size = batch_size
         self.num_repeats = num_repeats
+        self.epoch = 0  # set by ConcatBucketDataset; feeds per-item RNGs
+
+    def item_rng(self, idx: int, seed: int = 0) -> np.random.Generator:
+        """Deterministic per-(seed, epoch, index) generator — thread-safe
+        under the parallel batch loader (a shared Generator would race) and
+        reproducible across resume."""
+        return np.random.default_rng(
+            np.random.SeedSequence((seed, self.epoch, idx))
+        )
 
     def __len__(self) -> int:
         return self.num_items * self.num_repeats
@@ -53,10 +62,21 @@ class Bucket:
         item = self.get_item(idx)
         return item if isinstance(item, dict) else {"item": item}
 
+    # decode workers per batch: PIL / the native C loader release the GIL,
+    # so threads overlap decode with TPU compute even on few cores
+    load_workers: int = 4
+
     def get_batch(self, batch_idx: int) -> dict[str, Any]:
         start = batch_idx * self.batch_size
-        idxs = range(start, min(start + self.batch_size, len(self)))
-        return bucketing_collate([self.load_item(i) for i in idxs])
+        idxs = list(range(start, min(start + self.batch_size, len(self))))
+        if self.load_workers > 1 and len(idxs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.load_workers) as pool:
+                items = list(pool.map(self.load_item, idxs))
+        else:
+            items = [self.load_item(i) for i in idxs]
+        return bucketing_collate(items)
 
     @property
     def num_batches(self) -> int:
@@ -74,6 +94,36 @@ class BucketDataset:
 
     def __getitem__(self, idx: int) -> dict[str, Any]:
         return self.bucket.get_batch(idx)
+
+
+def prefetch_iterator(iterable: Iterator, depth: int = 2) -> Iterator:
+    """Pull batches on a background thread so host-side decode overlaps
+    device compute (the torch-DataLoader-workers analog; reference relies on
+    ``num_workers``). Exceptions propagate to the consumer."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+            q.put(("__error__", e))
+        finally:
+            q.put(_END)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
+            raise item[1]
+        yield item
 
 
 class ConcatBucketDataset:
@@ -106,8 +156,12 @@ class ConcatBucketDataset:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        for ds in self.datasets:
+            ds.bucket.epoch = epoch
 
     def __iter__(self) -> Iterator[dict[str, Any]]:
+        for ds in self.datasets:
+            ds.bucket.epoch = self.epoch
         order = list(self._index)
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(order)

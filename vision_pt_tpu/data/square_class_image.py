@@ -40,16 +40,17 @@ class SquareClassImageBucket(Bucket):
         super().__init__(items, batch_size, num_repeats)
         self.image_size = image_size
         self.caption_processors = caption_processors or []
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
 
     def load_item(self, idx: int) -> dict:
         item = self.get_item(idx)
+        rng = self.item_rng(idx, self.seed)
         img = Image.open(item["image"])
         img = resize_max_side(img, self.image_size)
         arr = to_array(img)
         arr = center_crop(arr, self.image_size, self.image_size)
         caption = apply_caption_processors(
-            item["caption"], self.caption_processors, self._rng
+            item["caption"], self.caption_processors, rng
         )
         return {"image": arr.astype(np.float32), "caption": caption}
 

@@ -123,9 +123,9 @@ class TextToImageBucket(Bucket):
         self.caption_processors = caption_processors
         self.resize = ObjectCoverResize(self.width, self.height, do_upscale)
         self.use_native_loader = use_native_loader
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
 
-    def _load_native(self, path) -> tuple[np.ndarray, int, int, int, int] | None:
+    def _load_native(self, path, rng) -> tuple | None:
         """Fused C decode+cover-resize+crop (native/image_loader.cpp); None
         falls back to the PIL path."""
         from . import native_image
@@ -141,8 +141,8 @@ class TextToImageBucket(Bucket):
         if scale > 1.0 and not self.do_upscale:
             return None  # no-upscale semantics differ; PIL path handles it
         cw, ch = native_image.cover_dims(w, h, self.width, self.height)
-        top = int(self._rng.integers(0, max(ch - self.height, 0) + 1))
-        left = int(self._rng.integers(0, max(cw - self.width, 0) + 1))
+        top = int(rng.integers(0, max(ch - self.height, 0) + 1))
+        left = int(rng.integers(0, max(cw - self.width, 0) + 1))
         rgb = native_image.load_cover_crop(
             path, self.width, self.height, left, top
         )
@@ -153,7 +153,10 @@ class TextToImageBucket(Bucket):
 
     def load_item(self, idx: int) -> dict:
         item = self.get_item(idx)
-        native = self._load_native(item["image"])
+        # per-(seed, epoch, idx) RNG: thread-safe under the parallel batch
+        # loader and reproducible across checkpoint resume
+        rng = self.item_rng(idx, self.seed)
+        native = self._load_native(item["image"], rng)
         if native is not None:
             crop, orig_h, orig_w, top, left = native
         else:
@@ -162,10 +165,10 @@ class TextToImageBucket(Bucket):
                 arr = to_array(resized)
             orig_h, orig_w = arr.shape[:2]
             crop, (top, left) = random_crop(
-                arr, self.height, self.width, self._rng
+                arr, self.height, self.width, rng
             )
         caption = apply_caption_processors(
-            item["caption"], self.caption_processors, self._rng
+            item["caption"], self.caption_processors, rng
         )
         return {
             "image": crop.astype(np.float32),

@@ -350,7 +350,9 @@ class Trainer:
         for epoch in range(start_epoch, cfg.num_train_epochs):
             self.current_epoch = epoch
             self.model.before_train_epoch()
-            for batch in self.train_dataset:
+            from ..data.bucket import prefetch_iterator
+
+            for batch in prefetch_iterator(iter(self.train_dataset)):
                 self.model.before_train_step()
                 self._maybe_profile()
                 step_t0 = time.perf_counter()
