@@ -339,6 +339,7 @@ class TextToImageDatasetConfig(AspectRatioBucketConfig):
                     use_native_loader=self.use_native_loader,
                 )
             )
+            buckets[-1].load_workers = max(1, self.num_workers)
         return buckets
 
     def get_dataset(self) -> ConcatBucketDataset:
