@@ -93,6 +93,11 @@ class Trainer:
         assert self.train_dataset_class is not None
         dataset_config = self.train_dataset_class.model_validate(self.config.dataset)
         self.train_dataset = dataset_config.get_dataset()
+        # multi-host: each process takes a strided slice of the batch order
+        # (run jax.distributed.initialize() before the Trainer on multi-host)
+        if jax.process_count() > 1 and hasattr(self.train_dataset, "host_index"):
+            self.train_dataset.host_index = jax.process_index()
+            self.train_dataset.host_count = jax.process_count()
         self.steps_per_epoch = len(self.train_dataset)
 
         self.preview_args = []
