@@ -209,3 +209,51 @@ def test_schedule_free_training_and_eval_swap(tmp_path):
     nnx.update(trainable, original)
     for a, b in zip(before, snapshot()):
         np.testing.assert_array_equal(a, b)
+
+
+def test_ema_updates_only_on_accumulation_boundaries(tmp_path):
+    """EMA tracks optimizer steps: under accumulation optax.MultiSteps only
+    applies an update every k micro-steps, so EMA must advance every k too
+    (reference updates EMA per applied optimizer step)."""
+    config = _make_config(
+        tmp_path, use_ema=True, ema_decay=0.9, gradient_accumulation_steps=2
+    )
+    config.num_train_epochs = 1
+    config.saving = None
+    trainer = _run(config, tmp_path, num_items=16, batch_size=4)  # 4 steps
+
+    calls = {"n": 0}
+    inner = trainer._jit_update_ema
+
+    def counting(ema_state, trainable):
+        calls["n"] += 1
+        return inner(ema_state, trainable)
+
+    trainer._jit_update_ema = counting
+    trainer.training_loop()
+    assert trainer.global_step == 4
+    assert calls["n"] == 2  # only on micro-step 2 and 4
+
+
+def test_partial_epoch_resume_skips_trained_batches(tmp_path):
+    """Resuming mid-epoch fast-forwards the data iterator instead of
+    replaying the epoch from its start."""
+    config = _make_config(tmp_path)
+    config.num_train_epochs = 2
+    config.saving = None
+    trainer = _run(config, tmp_path, num_items=16, batch_size=4)  # 4 steps/ep
+    assert trainer.steps_per_epoch == 4
+
+    trainer.global_step = 6  # 1 full epoch + 2 steps into epoch 1
+
+    executed = {"n": 0}
+    inner = trainer._jit_train_step
+
+    def counting(*args, **kwargs):
+        executed["n"] += 1
+        return inner(*args, **kwargs)
+
+    trainer._jit_train_step = counting
+    trainer.training_loop()
+    assert executed["n"] == 2  # only the 2 remaining batches of epoch 1
+    assert trainer.global_step == 8

@@ -91,6 +91,11 @@ class TrainerConfig(BaseModel):
     # mesh layout for multi-chip runs: data / fsdp / tensor axis sizes;
     # None = single-device
     mesh: dict | None = None
+    # multi-host: call jax.distributed.initialize() before backend init
+    # (reference relies on `accelerate launch` for process-group setup;
+    # here one flag does it — coordinator/rank discovery is automatic on
+    # TPU pods)
+    distributed_init: bool = False
 
     checkpointing: CheckpointingConfig = CheckpointingConfig()
 

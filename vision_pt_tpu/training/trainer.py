@@ -33,11 +33,38 @@ from .optimizer import get_optimizer
 from .scheduler import get_lr_schedule
 
 
+def initialize_distributed() -> None:
+    """Multi-host process-group setup (replaces `accelerate launch`): no-op
+    if already initialized or single-host. Must run before any jax.devices()
+    call so the backend sees the full pod."""
+    try:
+        jax.distributed.initialize()
+    except (ValueError, RuntimeError) as e:
+        # already initialized, or single-process with no coordinator env
+        print(f"[distributed] initialize skipped: {e}")
+
+
+def is_main_process() -> bool:
+    """True on the host that owns saving/preview/tracker IO (reference
+    rank-0 gating, ``src/trainer/common.py:390-448``)."""
+    return jax.process_index() == 0
+
+
+def barrier(name: str) -> None:
+    """Cross-host sync around IO (reference ``wait_for_everyone``)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 class Trainer:
     """Reference ``src/trainer/common.py:33-514``, re-shaped for JAX."""
 
     def __init__(self, config: TrainConfig):
         self.config = config
+        if config.trainer.distributed_init:
+            initialize_distributed()
         self._configure_precision()
 
         self.model: ModelForTraining | None = None
@@ -53,7 +80,9 @@ class Trainer:
         self.optimizer: nnx.Optimizer | None = None
         self.lr_schedule: Callable[[int], float] | None = None
         self.ema_state = None
-        self.trackers = get_trackers(config.tracker)
+        # single-writer: only process 0 owns tracker IO (reference rank-0
+        # gating, ``src/trainer/common.py:390-448``)
+        self.trackers = get_trackers(config.tracker) if is_main_process() else []
 
         self.saving_strategy = None
         self.saving_callbacks = []
@@ -343,21 +372,32 @@ class Trainer:
             return
 
         trainable = self.model.trainable()
-        # resume: skip fully-completed epochs (a partially-completed epoch is
-        # restarted from its beginning — its first steps replay)
+        # resume: skip fully-completed epochs, then fast-forward past the
+        # already-trained batches of a partially-completed epoch so no data
+        # replays (the per-epoch order is deterministic given set_epoch)
         start_epoch = 0
+        skip_steps = 0
         if self.global_step and self.steps_per_epoch:
             start_epoch = min(
                 self.global_step // self.steps_per_epoch, cfg.num_train_epochs
             )
+            skip_steps = self.global_step - start_epoch * self.steps_per_epoch
         total = self.steps_per_epoch * (cfg.num_train_epochs - start_epoch)
-        pbar = tqdm(total=total, desc="train")
+        pbar = tqdm(total=total, desc="train", initial=skip_steps)
         for epoch in range(start_epoch, cfg.num_train_epochs):
             self.current_epoch = epoch
             self.model.before_train_epoch()
             from ..data.bucket import prefetch_iterator
 
-            for batch in prefetch_iterator(iter(self.train_dataset)):
+            epoch_iter = iter(self.train_dataset)
+            if skip_steps:
+                import itertools
+
+                epoch_iter = itertools.islice(epoch_iter, skip_steps, None)
+                print(f"[resume] skipped {skip_steps} batches into epoch {epoch}")
+                skip_steps = 0
+
+            for batch in prefetch_iterator(epoch_iter):
                 self.model.before_train_step()
                 self._maybe_profile()
                 step_t0 = time.perf_counter()
@@ -368,9 +408,16 @@ class Trainer:
                 loss, metrics = self._jit_train_step(
                     trainable, self.optimizer, arrays, key
                 )
-                if self._jit_update_ema is not None:
-                    self.ema_state = self._jit_update_ema(self.ema_state, trainable)
                 self.global_step += 1
+                # EMA tracks optimizer steps, not micro-steps: under
+                # accumulation, optax.MultiSteps only applies an update every
+                # k micro-steps, and the reference's EMA advances once per
+                # applied update (``src/trainer/common.py:382-388``)
+                accum = cfg.trainer.gradient_accumulation_steps
+                if self._jit_update_ema is not None and (
+                    accum <= 1 or self.global_step % accum == 0
+                ):
+                    self.ema_state = self._jit_update_ema(self.ema_state, trainable)
 
                 self.model.log("train/loss", loss, on_step=True, on_epoch=True)
                 self.model.log(
@@ -455,9 +502,14 @@ class Trainer:
         for old, new in (self.config.saving.rename_key_map or {}).items():
             state_dict = {k.replace(old, new): v for k, v in state_dict.items()}
         metadata = self.model.get_metadata_to_save()
-        for cb in self.saving_callbacks:
-            path = cb.save(state_dict, epoch, steps, metadata=metadata or None)
-            print(f"[saving] wrote {path}")
+        # every process computes the state dict (device->host gather of
+        # sharded params needs all hosts); only process 0 touches the disk /
+        # the hub (reference rank-0 + wait_for_everyone,
+        # ``src/trainer/common.py:390-423``)
+        if is_main_process():
+            for cb in self.saving_callbacks:
+                path = cb.save(state_dict, epoch, steps, metadata=metadata or None)
+                print(f"[saving] wrote {path}")
         if original_params is not None:
             nnx.update(self.model.trainable(), original_params)
         if self.ema_state is not None:
@@ -468,11 +520,13 @@ class Trainer:
             )
             ema_sd = self.model.get_state_dict_to_save()
             nnx.update(self.model.trainable(), original)
-            for cb in self.saving_callbacks:
-                saved_template = cb.save_name_template
-                cb.save_name_template = "ema_" + saved_template
-                cb.save(ema_sd, epoch, steps, metadata=metadata or None)
-                cb.save_name_template = saved_template
+            if is_main_process():
+                for cb in self.saving_callbacks:
+                    saved_template = cb.save_name_template
+                    cb.save_name_template = "ema_" + saved_template
+                    cb.save(ema_sd, epoch, steps, metadata=metadata or None)
+                    cb.save_name_template = saved_template
+        barrier("save_model")
         self.model.after_save_model()
 
     def call_preview_callbacks(self):
@@ -485,14 +539,20 @@ class Trainer:
         self.model.before_preview()
         original_params = self._swap_in_schedule_free_eval_params()
         for i, args in enumerate(self.preview_args):
+            # all processes run the sampler (sharded params need every
+            # host in the computation); only process 0 writes/posts
             images = self.model.preview_step(args, i)
-            for cb in self.preview_callbacks:
-                cb.preview(images, self.current_epoch + 1, self.global_step, i)
+            if is_main_process():
+                for cb in self.preview_callbacks:
+                    cb.preview(
+                        images, self.current_epoch + 1, self.global_step, i
+                    )
             for tracker in self.trackers:
                 for j, img in enumerate(images):
                     tracker.log_image(
                         f"preview/{i}_{j}", img, self.global_step
                     )
+        barrier("preview")
         if original_params is not None:
             nnx.update(self.model.trainable(), original_params)
         self.model.after_preview()
