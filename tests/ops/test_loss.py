@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vision_pt_tpu.ops.loss import diffusion, flow_match, shortcut
 
@@ -139,5 +140,142 @@ def test_lpips_gated():
 
     from vision_pt_tpu.ops.loss.perceptual import LPIPS
 
-    with pytest.raises(NotImplementedError, match="pretrained"):
+    with pytest.raises(ValueError, match="pretrained"):
         LPIPS()
+
+
+def _tiny_vgg_state_dict(rng, layout="torchvision"):
+    """Random VGG16-conv weights in torch layouts, scaled small so deep
+    activations stay finite."""
+    import numpy as np
+
+    from vision_pt_tpu.ops.loss.perceptual import _VGG16_CONV_IDX, _VGG16_STAGES
+
+    sd = {}
+    for k, (stage, idxs) in enumerate(zip(_VGG16_STAGES, _VGG16_CONV_IDX)):
+        slice_start = [0, 4, 9, 16, 23][k]
+        for (cin, cout), idx in zip(stage, idxs):
+            w = rng.standard_normal((cout, cin, 3, 3)).astype(np.float32)
+            w *= np.sqrt(2.0 / (cin * 9))
+            b = rng.standard_normal(cout).astype(np.float32) * 0.01
+            if layout == "torchvision":
+                sd[f"features.{idx}.weight"] = w
+                sd[f"features.{idx}.bias"] = b
+            else:  # torchmetrics / lpips package
+                sd[f"net.slice{k + 1}.{idx}.weight"] = w
+                sd[f"net.slice{k + 1}.{idx}.bias"] = b
+        if layout != "torchvision":
+            lin = np.abs(rng.standard_normal((1, stage[-1][1], 1, 1))).astype(
+                np.float32
+            )
+            sd[f"lin{k}.model.1.weight"] = lin
+    return sd
+
+
+def _torch_lpips_reference(sd, x_np, y_np, layout):
+    """Minimal torch implementation of the lpips-package math (scaling layer,
+    VGG16 slices, unit-normalize, 1x1 lin heads, spatial mean)."""
+    import torch
+    import torch.nn.functional as F
+
+    from vision_pt_tpu.ops.loss.perceptual import (
+        _LPIPS_SCALE,
+        _LPIPS_SHIFT,
+        _VGG16_CONV_IDX,
+        _VGG16_STAGES,
+    )
+
+    def prep(a):
+        a = torch.from_numpy(a).permute(0, 3, 1, 2) * 2.0 - 1.0  # NCHW [-1,1]
+        shift = torch.tensor(_LPIPS_SHIFT).view(1, 3, 1, 1)
+        scale = torch.tensor(_LPIPS_SCALE).view(1, 3, 1, 1)
+        return (a - shift) / scale
+
+    def unit(a):
+        return a / (a.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+
+    fx, fy = prep(x_np), prep(y_np)
+    total = torch.zeros(x_np.shape[0])
+    for k, (stage, idxs) in enumerate(zip(_VGG16_STAGES, _VGG16_CONV_IDX)):
+        if k > 0:
+            fx = F.max_pool2d(fx, 2)
+            fy = F.max_pool2d(fy, 2)
+        for (cin, cout), idx in zip(stage, idxs):
+            if layout == "torchvision":
+                w, b = sd[f"features.{idx}.weight"], sd[f"features.{idx}.bias"]
+            else:
+                w = sd[f"net.slice{k + 1}.{idx}.weight"]
+                b = sd[f"net.slice{k + 1}.{idx}.bias"]
+            w, b = torch.from_numpy(w), torch.from_numpy(b)
+            fx = F.relu(F.conv2d(fx, w, b, padding=1))
+            fy = F.relu(F.conv2d(fy, w, b, padding=1))
+        if layout == "torchvision":
+            lin = torch.full((stage[-1][1],), 1.0 / stage[-1][1])
+        else:
+            lin = torch.from_numpy(sd[f"lin{k}.model.1.weight"]).view(-1)
+        diff = (unit(fx) - unit(fy)).pow(2)
+        total = total + (diff * lin.view(1, -1, 1, 1)).sum(1).mean(dim=(1, 2))
+    return total.numpy()
+
+
+@pytest.mark.parametrize("layout", ["torchvision", "torchmetrics"])
+def test_lpips_parity_vs_torch(tmp_path, layout):
+    """JAX LPIPS matches a torch implementation of the lpips-package math on
+    both accepted weight layouts (reference wraps torchmetrics LPIPS,
+    ``src/modules/loss/perceptual.py:37-86``)."""
+    import numpy as np
+
+    from vision_pt_tpu.ops.loss.perceptual import LPIPS
+
+    rng = np.random.default_rng(0)
+    sd = _tiny_vgg_state_dict(rng, layout)
+
+    from safetensors.numpy import save_file
+
+    path = str(tmp_path / "lpips.safetensors")
+    save_file(sd, path)
+
+    x = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    y = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+
+    ours = np.asarray(LPIPS(path)(jnp.asarray(x), jnp.asarray(y)))
+    ref = _torch_lpips_reference(sd, x, y, layout)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
+    assert ours.shape == (2,)
+    assert np.all(ours > 0)
+
+    # identical inputs -> zero distance
+    zero = np.asarray(LPIPS(path)(jnp.asarray(x), jnp.asarray(x)))
+    np.testing.assert_allclose(zero, 0.0, atol=1e-6)
+
+
+def test_lpips_in_perceptual_loss_and_grad(tmp_path):
+    """PerceptualLoss({'lpips': ...}) works end-to-end with a weights path and
+    is differentiable (DRaFT-style reward backprop needs the gradient)."""
+    import numpy as np
+
+    from vision_pt_tpu.ops.loss.perceptual import PerceptualLoss
+
+    rng = np.random.default_rng(1)
+    sd = _tiny_vgg_state_dict(rng, "torchmetrics")
+    from safetensors.numpy import save_file
+
+    path = str(tmp_path / "lpips.safetensors")
+    save_file(sd, path)
+
+    pl = PerceptualLoss(
+        {"lpips": 1.0, "ssim": 0.5}, lpips_weights_path=path
+    )
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 3)).astype(np.float32))
+    out = pl(x, y)
+    assert float(out["lpips"]) > 0
+    np.testing.assert_allclose(
+        float(out["total"]),
+        float(out["lpips"]) + 0.5 * float(out["ssim"]),
+        rtol=1e-6,
+    )
+
+    g = jax.grad(lambda x: pl(x, y)["total"])(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0

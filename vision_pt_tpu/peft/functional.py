@@ -122,7 +122,11 @@ def replace_to_peft_layer(
             full = f"{prefix}{name}"
             if isinstance(child, PeftLayer):
                 continue
-            if isinstance(child, nnx.Linear):
+            # QLoRA: quantized linears (QuantLinear4bit/Int8/FP8 expose
+            # kernel_shape) take adapters just like plain Linears —
+            # reference trains LoRA in bf16 over a quantized base
+            # (``src/trainer/common.py:182-201``)
+            if isinstance(child, nnx.Linear) or hasattr(child, "kernel_shape"):
                 if full in target_keys:
                     _set_child(module, name, _make_peft_layer(child, config, rngs))
                     replaced.append(full)
