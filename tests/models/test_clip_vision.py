@@ -33,6 +33,7 @@ def test_shapes_and_hidden_states():
     assert len(out.hidden_states) == 3  # embeddings + 2 layers
 
 
+@pytest.mark.slow
 def test_parity_with_hf_clip_vision():
     transformers = pytest.importorskip("transformers")
     import torch

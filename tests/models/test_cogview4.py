@@ -9,6 +9,8 @@ from vision_pt_tpu.models.cogview4.denoiser import CogView4DiT, RoPE
 from vision_pt_tpu.models.cogview4.pipeline import calculate_time_shift
 from vision_pt_tpu.ops.timestep.sampling import time_shift_linear
 
+pytestmark = pytest.mark.slow
+
 TINY = dict(
     patch_size=2, in_channels=4, out_channels=4, num_layers=2,
     attention_head_dim=16, num_attention_heads=4, text_embed_dim=32,

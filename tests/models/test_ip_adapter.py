@@ -20,6 +20,8 @@ from vision_pt_tpu.models.sdxl.config import DenoiserConfig
 from vision_pt_tpu.models.sdxl.denoiser import Denoiser
 from vision_pt_tpu.peft import AdapterParam
 
+pytestmark = pytest.mark.slow
+
 TINY_UNET = dict(
     hidden_dim=32, block_out_channels=[32, 32, 64],
     num_transformers_per_block=[1, 1, 1], num_head_channels=16,

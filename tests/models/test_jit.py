@@ -94,6 +94,7 @@ def test_denoiser_forward_shape_and_finite(tiny_model):
     assert bool(jnp.all(jnp.isfinite(pred)))
 
 
+@pytest.mark.slow
 def test_denoiser_mask_only_affects_padded_context(tiny_model):
     """Changing an embedding under a masked position must not change output."""
     img = jax.random.normal(jax.random.key(0), (1, 16, 16, 3))
@@ -161,6 +162,7 @@ def test_checkpoint_roundtrip(tiny_model, tmp_path):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_gradient_checkpointing_same_output(tiny_model):
     img = jax.random.normal(jax.random.key(0), (1, 16, 16, 3))
     t = jnp.asarray([0.5])

@@ -150,6 +150,7 @@ def test_tread_routing_matches_full_at_eval_and_differs_in_train():
     )
 
 
+@pytest.mark.slow
 def test_uvit_parity_with_reference():
     from tests.reference_stubs import install_stubs, reference_available
 

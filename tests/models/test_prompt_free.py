@@ -17,6 +17,8 @@ from vision_pt_tpu.adapters.prompt_free import (
 )
 from vision_pt_tpu.peft import AdapterParam
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("ptype", ["linear", "mlp", "resampler"])
 def test_projector_shapes(ptype):

@@ -61,6 +61,7 @@ class MockTokenizer:
         return {"input_ids": np.asarray(out, dtype=np.int64)}
 
 
+@pytest.mark.slow
 def test_unet_forward_shape():
     model = Denoiser(DenoiserConfig(**TINY_UNET), rngs=nnx.Rngs(0))
     lat = jax.random.normal(jax.random.key(0), (2, 16, 16, 4))
@@ -73,6 +74,7 @@ def test_unet_forward_shape():
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow
 def test_unet_state_roundtrip():
     model = Denoiser(DenoiserConfig(**TINY_UNET), rngs=nnx.Rngs(0))
     flat = {k: np.asarray(v) for k, v in flatten_state(model).items()}
@@ -222,6 +224,7 @@ def test_long_prompt_chunking():
     assert out.attention_mask.shape == (2, 5)
 
 
+@pytest.mark.slow
 def test_vae_roundtrip_and_tiled_decode():
     vae = VAE(block_out_channels=(8, 16), layers_per_block=1,
               norm_num_groups=4, latent_channels=4, rngs=nnx.Rngs(0))
@@ -238,6 +241,7 @@ def test_vae_roundtrip_and_tiled_decode():
     np.testing.assert_allclose(np.asarray(tiled), np.asarray(rec), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_text_encoder_dual_shapes():
     te = TextEncoder.from_default.__func__  # avoid building full-size models
     cfg1 = CLIPTextConfig(vocab_size=1000, hidden_size=16, intermediate_size=32,
@@ -260,6 +264,7 @@ def test_text_encoder_dual_shapes():
     assert out.text_encoder_2.pooled_positive_embeddings.shape == (1, 24)
 
 
+@pytest.mark.slow
 def test_sdxl_pipeline_generate_tiny():
     from vision_pt_tpu.models.sdxl.pipeline import SDXLModel
 

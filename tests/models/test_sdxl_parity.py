@@ -11,6 +11,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.slow
 def test_unet_forward_parity_with_reference():
     install_stubs()
     import functools

@@ -18,6 +18,9 @@ from vision_pt_tpu.models.sdxl.adapter.rope import (
 from vision_pt_tpu.models.sdxl.config import DenoiserConfig
 from vision_pt_tpu.models.sdxl.denoiser import Denoiser
 from vision_pt_tpu.workloads.sdxl_rope_distill import downscale
+import pytest
+
+pytestmark = pytest.mark.slow
 
 TINY = dict(
     hidden_dim=32,

@@ -22,6 +22,8 @@ from vision_pt_tpu.models.sdxl.text_encoder import (
 
 from tests.models.test_sdxl import MockTokenizer
 
+pytestmark = pytest.mark.slow
+
 
 class StyleMockTokenizer(MockTokenizer):
     def __init__(self, vocab_size: int = 1000):

@@ -219,6 +219,7 @@ def _torch_lpips_reference(sd, x_np, y_np, layout):
 
 
 @pytest.mark.parametrize("layout", ["torchvision", "torchmetrics"])
+@pytest.mark.slow
 def test_lpips_parity_vs_torch(tmp_path, layout):
     """JAX LPIPS matches a torch implementation of the lpips-package math on
     both accepted weight layouts (reference wraps torchmetrics LPIPS,
@@ -249,6 +250,7 @@ def test_lpips_parity_vs_torch(tmp_path, layout):
     np.testing.assert_allclose(zero, 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_lpips_in_perceptual_loss_and_grad(tmp_path):
     """PerceptualLoss({'lpips': ...}) works end-to-end with a weights path and
     is differentiable (DRaFT-style reward backprop needs the gradient)."""

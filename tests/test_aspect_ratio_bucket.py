@@ -124,6 +124,7 @@ def image_folder(tmp_path):
     return folder
 
 
+@pytest.mark.slow
 def test_text_to_image_dataset_end_to_end(image_folder, tmp_path):
     cfg = TextToImageDatasetConfig(
         folder=str(image_folder),

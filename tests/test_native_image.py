@@ -103,6 +103,7 @@ def test_bucket_uses_native_path(tmp_path, lib_available):
     assert diff < 0.06
 
 
+@pytest.mark.slow
 def test_native_loader_throughput(tmp_path, lib_available):
     """The C path must not be slower than PIL (it should be much faster for
     large JPEGs thanks to scaled decode)."""

@@ -45,6 +45,7 @@ def tiny_clip_dir(tmp_path_factory):
     return str(d), model
 
 
+@pytest.mark.slow
 def test_pickscore_from_local_matches_transformers(tiny_clip_dir):
     """Tower + projection + logit-scale parity against HF CLIPModel on the
     same weights (the model PickScore_v1 is an instance of)."""
@@ -99,6 +100,7 @@ def test_pickscore_from_local_matches_transformers(tiny_clip_dir):
         set_default_attention_dtype(jnp.bfloat16)
 
 
+@pytest.mark.slow
 def test_pickscore_reward_differentiable(tiny_clip_dir):
     """DRaFT+ needs d(score)/d(images) — through preprocessing and the
     vision tower."""
@@ -126,6 +128,7 @@ def test_pickscore_reward_differentiable(tiny_clip_dir):
     assert float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow
 def test_pickscore_via_reward_config(tiny_clip_dir):
     """The config path the DRaFT+ workload uses:
     {'type': 'pickscore', 'weights_path': ...}."""

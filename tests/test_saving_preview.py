@@ -84,8 +84,10 @@ def test_grid_video_safetensors_utils(tmp_path):
     assert grid.size == (2 * 18 + 2, 3 * 18 + 2)
 
     video_path = str(tmp_path / "out.mp4")
-    write_images_as_video(imgs, video_path, fps=4)
-    assert (tmp_path / "out.mp4").stat().st_size > 0
+    written = write_images_as_video(imgs, video_path, fps=4)
+    import os
+
+    assert os.path.getsize(written) > 0
 
     from safetensors.numpy import save_file
 

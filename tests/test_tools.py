@@ -33,6 +33,7 @@ def test_images_to_gif(tmp_path):
     gif.seek(2)  # 3 frames exist
 
 
+@pytest.mark.slow
 def test_inspect_and_change_dtype(tmp_path):
     from safetensors.numpy import load_file, save_file
 
@@ -66,6 +67,7 @@ def test_to_safetensors(tmp_path):
     assert load_file(str(out))["w"].shape == (2, 2)
 
 
+@pytest.mark.slow
 def test_expand_patch_embed(tmp_path):
     from safetensors.numpy import load_file, save_file
 
@@ -90,6 +92,7 @@ def test_expand_patch_embed(tmp_path):
     assert new["denoiser.final_layer.linear.bias"].shape == (32 * 32 * 3,)
 
 
+@pytest.mark.slow
 def test_quantize_model_tool(tmp_path):
     from safetensors.numpy import load_file, save_file
 
@@ -157,6 +160,7 @@ def test_download_tool_is_gated():
     assert "network egress" in (r.stderr + r.stdout)
 
 
+@pytest.mark.slow
 def test_inference_server_http_roundtrip():
     """Drive POST /predict over a real socket with a tiny model."""
     import threading

@@ -1,6 +1,7 @@
 """Full train-state checkpoint/resume roundtrip."""
 
 import json
+import pytest
 
 import jax
 import numpy as np
@@ -69,6 +70,7 @@ def _step(trainer):
     return float(loss)
 
 
+@pytest.mark.slow
 def test_checkpoint_save_restore_roundtrip(tmp_path):
     t1 = _make_trainer(tmp_path)
     for _ in range(3):

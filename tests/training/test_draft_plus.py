@@ -1,7 +1,9 @@
 """DRaFT+ workload test (reference ``train/sdxl/draft_plus.py`` — unfinished
 upstream; ours implements the full truncated-backprop reward gradient)."""
 
+import pytest
 import jax
+
 import jax.numpy as jnp
 import numpy as np
 from flax import nnx
@@ -16,6 +18,8 @@ from tests.training.test_sdxl_workload import (
     TINY_VAE,
     _install_tiny_text_encoders,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def test_reward_model_loading():

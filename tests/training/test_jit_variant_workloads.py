@@ -10,6 +10,8 @@ from vision_pt_tpu.data.square_class_image import SyntheticClassImageDatasetConf
 from vision_pt_tpu.training.trainer import Trainer
 from vision_pt_tpu.workloads import jit_variants
 
+pytestmark = pytest.mark.slow
+
 TINY = dict(
     patch_size=8, hidden_size=64, depth=4, num_heads=2, bottleneck_dim=16,
     context_dim=32, context_start_block=1, rope_axes_dims=[8, 12, 12],

@@ -1,6 +1,8 @@
 """PFG workload loss smoke (reference ``train/sdxl/prompt_free.self.py``)."""
 
+import pytest
 import jax
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -12,6 +14,8 @@ from tests.training.test_sdxl_workload import (
     TINY_VAE,
     _install_tiny_text_encoders,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def test_pfg_self_training_loss_and_save():

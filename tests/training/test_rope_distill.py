@@ -1,7 +1,9 @@
 """RoPE-distill workload loss smoke test (reference
 ``train/sdxl/rope_distill.py``): all four losses on the tiny pipeline."""
 
+import pytest
 import jax
+
 import numpy as np
 
 from vision_pt_tpu.config import OptimizerConfig, TrainConfig, TrainerConfig
@@ -12,6 +14,8 @@ from tests.training.test_sdxl_workload import (
     TINY_VAE,
     _install_tiny_text_encoders,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def test_rope_distill_compute_loss():

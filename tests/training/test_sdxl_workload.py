@@ -16,6 +16,8 @@ from vision_pt_tpu.workloads.sdxl_text_to_image import SDXLForTextToImageTrainin
 
 from tests.models.test_sdxl import MockTokenizer
 
+pytestmark = pytest.mark.slow
+
 TINY_UNET = dict(
     hidden_dim=32,
     block_out_channels=[32, 32, 64],

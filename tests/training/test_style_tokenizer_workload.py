@@ -19,6 +19,9 @@ from vision_pt_tpu.workloads.sdxl_style_tokenizer import (
 
 from tests.models.test_style_tokenizer import StyleMockTokenizer
 from tests.training.test_sdxl_workload import TINY_UNET, TINY_VAE
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_style_tokenizer_training_loss_and_grads():

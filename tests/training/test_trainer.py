@@ -72,6 +72,7 @@ def _run(config, tmp_path, num_items=32, image_size=16, batch_size=8):
     return trainer
 
 
+@pytest.mark.slow
 def test_training_loss_decreases(tmp_path):
     config = _make_config(tmp_path)
     trainer = _run(config, tmp_path)
@@ -91,6 +92,7 @@ def test_training_loss_decreases(tmp_path):
     assert last < first, f"loss did not decrease: {first:.4f} -> {last:.4f}"
 
 
+@pytest.mark.slow
 def test_full_train_entrypoint_with_save(tmp_path):
     config = _make_config(tmp_path)
     config.num_train_epochs = 1
@@ -115,6 +117,7 @@ def test_debug_mode_1step(tmp_path, capsys):
     assert trainer.global_step == 1
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_and_clip(tmp_path):
     config = _make_config(
         tmp_path, gradient_accumulation_steps=2, clip_grad_norm=1.0
@@ -148,6 +151,7 @@ def test_ema_state(tmp_path):
     assert not np.array_equal(np.asarray(before), np.asarray(after))
 
 
+@pytest.mark.slow
 def test_gradient_checkpointing_trains(tmp_path):
     config = _make_config(tmp_path, gradient_checkpointing=True)
     trainer = _run(config, tmp_path, num_items=8, batch_size=8)
@@ -162,6 +166,7 @@ def test_gradient_checkpointing_trains(tmp_path):
         break
 
 
+@pytest.mark.slow
 def test_schedule_free_training_and_eval_swap(tmp_path):
     """Schedule-free optimizer trains; save uses the eval (x) params
     (reference optimizer.eval()/train() around save/preview)."""
@@ -211,6 +216,7 @@ def test_schedule_free_training_and_eval_swap(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_ema_updates_only_on_accumulation_boundaries(tmp_path):
     """EMA tracks optimizer steps: under accumulation optax.MultiSteps only
     applies an update every k micro-steps, so EMA must advance every k too
@@ -235,6 +241,7 @@ def test_ema_updates_only_on_accumulation_boundaries(tmp_path):
     assert calls["n"] == 2  # only on micro-step 2 and 4
 
 
+@pytest.mark.slow
 def test_partial_epoch_resume_skips_trained_batches(tmp_path):
     """Resuming mid-epoch fast-forwards the data iterator instead of
     replaying the epoch from its start."""
