@@ -101,9 +101,14 @@ class JiTForClassToImageTraining(ModelForTraining):
             # reference attends all tokens when context is dropped
             # (``class_to_image.py:195-196``)
             mask = np.ones_like(mask)
-        image = batch["image"]
-        if image.ndim == 4 and image.shape[-1] != 3 and image.shape[1] == 3:
-            image = np.moveaxis(image, 1, -1)  # tolerate NCHW input
+        if "latents" in batch:
+            # latent-space JiT over a VAE-latent cache (data/latent_cache.py):
+            # latents stand in for pixels end-to-end (in_channels=4 config)
+            image = batch["latents"]
+        else:
+            image = batch["image"]
+            if image.ndim == 4 and image.shape[-1] != 3 and image.shape[1] == 3:
+                image = np.moveaxis(image, 1, -1)  # tolerate NCHW input
         return {
             "image": jnp.asarray(image),
             "class_ids": jnp.asarray(ids),

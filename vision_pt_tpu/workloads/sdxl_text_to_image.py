@@ -90,11 +90,7 @@ class SDXLForTextToImageTraining(ModelForTraining):
         ids2, _ = tokenize_long_prompt(
             te.tokenizer_2, captions, max_length=max_len, chunk_length=CHUNK_LENGTH
         )
-        image = batch["image"]
-        if image.ndim == 4 and image.shape[-1] != 3 and image.shape[1] == 3:
-            image = np.moveaxis(image, 1, -1)
-        return {
-            "image": jnp.asarray(image),
+        out = {
             "ids1": jnp.asarray(ids1),
             "ids2": jnp.asarray(ids2),
             "original_size": jnp.asarray(batch["original_size"], dtype=jnp.float32),
@@ -103,6 +99,16 @@ class SDXLForTextToImageTraining(ModelForTraining):
                 batch["crop_coords_top_left"], dtype=jnp.float32
             ),
         }
+        if "latents" in batch:
+            # cached-VAE-latent mode (data/latent_cache.py): already sampled
+            # and scaled on the host; the step starts at the denoiser
+            out["latents"] = jnp.asarray(batch["latents"])
+        else:
+            image = batch["image"]
+            if image.ndim == 4 and image.shape[-1] != 3 and image.shape[1] == 3:
+                image = np.moveaxis(image, 1, -1)
+            out["image"] = jnp.asarray(image)
+        return out
 
     # ------------------------------------------------------------ loss
 
@@ -125,8 +131,9 @@ class SDXLForTextToImageTraining(ModelForTraining):
         return jax.lax.stop_gradient(ehs), jax.lax.stop_gradient(pooled)
 
     def compute_loss(self, trainable, batch: dict, key: jax.Array):
-        images = batch["image"]
-        batch_size = images.shape[0]
+        batch_size = (
+            batch["latents"] if "latents" in batch else batch["image"]
+        ).shape[0]
         k_vae, k_t, k_noise = jax.random.split(jax.random.fold_in(key, 2), 3)
 
         denoiser = (
@@ -139,10 +146,13 @@ class SDXLForTextToImageTraining(ModelForTraining):
             trainable, batch["ids1"], batch["ids2"], batch_size
         )
 
-        dist = vae.encode(images)
-        latents = jax.lax.stop_gradient(
-            dist.sample(k_vae) * vae.scaling_factor
-        )
+        if "latents" in batch:
+            latents = batch["latents"]  # cached: sampled + scaled offline
+        else:
+            dist = vae.encode(batch["image"])
+            latents = jax.lax.stop_gradient(
+                dist.sample(k_vae) * vae.scaling_factor
+            )
 
         timesteps = uniform_randint(k_t, batch_size, 0, 1000)
         noisy, noise = prepare_noised_latents(k_noise, latents, timesteps)
