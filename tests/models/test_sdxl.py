@@ -294,3 +294,34 @@ def test_sdxl_pipeline_generate_tiny():
     )
     assert len(images) == 1
     assert images[0].size == (64, 64)
+
+
+def test_unet_gradient_checkpointing_same_output_and_grads():
+    """Per-layer remat must not change the forward, and grads must flow
+    (the flag previously existed but was never applied)."""
+    model = Denoiser(DenoiserConfig(**TINY_UNET), rngs=nnx.Rngs(0))
+    lat = jax.random.normal(jax.random.key(0), (2, 16, 16, 4))
+    t = jnp.asarray([500.0, 10.0])
+    ctx = jax.random.normal(jax.random.key(1), (2, 7, 32))
+    pooled = jax.random.normal(jax.random.key(2), (2, 1280))
+    sz = jnp.full((2, 2), 128.0)
+
+    out_plain = model(lat, t, ctx, pooled, sz, sz, jnp.zeros_like(sz))
+    model.set_gradient_checkpointing(True)
+    out_remat = model(lat, t, ctx, pooled, sz, sz, jnp.zeros_like(sz))
+    # remat executes layers as fused sub-jaxprs -> op-ordering noise at
+    # bf16-attention scale, not exact bitwise equality
+    np.testing.assert_allclose(
+        np.asarray(out_plain), np.asarray(out_remat), atol=2e-3, rtol=2e-3
+    )
+
+    def loss(m):
+        return jnp.mean(
+            jnp.square(m(lat, t, ctx, pooled, sz, sz, jnp.zeros_like(sz)))
+        )
+
+    grads = nnx.grad(loss)(model)
+    leaves = jax.tree.leaves(grads)
+    assert leaves and all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    total = sum(float(jnp.abs(g).sum()) for g in leaves)
+    assert total > 0

@@ -343,6 +343,17 @@ def _apply_layer(layer, hidden_states, context, global_embedding,
     return layer(hidden_states)  # Conv stem / Downsample / Upsample
 
 
+# per-layer rematerialization (reference per-block torch checkpointing,
+# ``src/models/sdxl/denoiser.py:952-959`` analog): the backward recomputes
+# each layer's activations instead of storing them — required to fit 1024^2
+# training batches in HBM
+_apply_layer_remat = nnx.remat(_apply_layer)
+
+
+def _layer_fn(gradient_checkpointing: bool):
+    return _apply_layer_remat if gradient_checkpointing else _apply_layer
+
+
 class DownBlocks(nnx.Module):
     """Flattened input_blocks (reference ``denoiser.py:613-773``)."""
 
@@ -401,9 +412,10 @@ class DownBlocks(nnx.Module):
                  time_embedding, transformer_args=None,
                  cross_attention_kwargs=None) -> DownBlocksOutput:
         skips: list[jax.Array] = []
+        apply = _layer_fn(self.gradient_checkpointing)
         for layer_list in self.blocks:
             for layer in layer_list:
-                hidden_states = _apply_layer(
+                hidden_states = apply(
                     layer, hidden_states, context, global_embedding,
                     time_embedding, transformer_args, cross_attention_kwargs,
                 )
@@ -444,8 +456,9 @@ class MidBlock(nnx.Module):
     def __call__(self, hidden_states, context, global_embedding,
                  time_embedding, transformer_args=None,
                  cross_attention_kwargs=None) -> jax.Array:
+        apply = _layer_fn(self.gradient_checkpointing)
         for layer in self.blocks:
-            hidden_states = _apply_layer(
+            hidden_states = apply(
                 layer, hidden_states, context, global_embedding,
                 time_embedding, transformer_args, cross_attention_kwargs,
             )
@@ -512,11 +525,12 @@ class UpBlocks(nnx.Module):
                  time_embedding, skip_connections, transformer_args=None,
                  cross_attention_kwargs=None) -> jax.Array:
         skip_connections = list(skip_connections)
+        apply = _layer_fn(self.gradient_checkpointing)
         for layer_list in self.blocks:
             skip = skip_connections.pop()
             hidden_states = jnp.concatenate([hidden_states, skip], axis=-1)
             for layer in layer_list:
-                hidden_states = _apply_layer(
+                hidden_states = apply(
                     layer, hidden_states, context, global_embedding,
                     time_embedding, transformer_args, cross_attention_kwargs,
                 )
