@@ -128,3 +128,121 @@ def test_forward_parity_with_reference(reference_modules, overrides):
     mse = np.mean((jout_nchw - tout) ** 2)
     psnr = 20 * np.log10(tout.max() - tout.min()) - 10 * np.log10(mse)
     assert psnr > 60.0, f"PSNR {psnr:.1f} dB below parity threshold"
+
+
+@pytest.mark.slow
+def test_training_loss_curve_parity_with_reference(reference_modules):
+    """Driver config #1 measured golden (BASELINE.md): train the same tiny
+    JiT in both frameworks — identical init weights, batches, timesteps and
+    noise, AdamW both sides — and require the per-step loss curves to match.
+    The torch curve is computed live from /root/reference, so this is a
+    measured baseline, not an estimate (reference step math:
+    ``train/jit/class_to_image.py:106-242``)."""
+    TorchDenoiser, TorchDenoiserConfig, torch = reference_modules
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from vision_pt_tpu.models.jit.config import DenoiserConfig
+    from vision_pt_tpu.models.jit.convert import torch_to_nnx
+    from vision_pt_tpu.models.jit.denoiser import Denoiser as JaxDenoiser
+    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+    from vision_pt_tpu.utils.state_dict import load_flat_state
+
+    torch.manual_seed(0)
+    tmodel = TorchDenoiser(TorchDenoiserConfig(**TINY_KW))
+    tmodel.initialize_weights()
+    tmodel.train()
+
+    jmodel = JaxDenoiser(DenoiserConfig(**TINY_KW), rngs=nnx.Rngs(0))
+    load_flat_state(
+        jmodel,
+        torch_to_nnx(
+            {k: v.detach().numpy() for k, v in tmodel.state_dict().items()},
+            rope_head_dim=32,
+        ),
+        strict=True,
+    )
+
+    lr, steps, batch, size = 1e-3, 6, 4, 16
+    topt = torch.optim.AdamW(tmodel.parameters(), lr=lr, weight_decay=0.0)
+    joptimizer = nnx.Optimizer(
+        jmodel, optax.adamw(lr, weight_decay=0.0), wrt=nnx.Param
+    )
+
+    rng = np.random.default_rng(42)
+    eps = 0.05
+
+    def step_data():
+        img = rng.normal(size=(batch, 3, size, size)).astype(np.float32)
+        ctx = rng.normal(size=(batch, 5, 32)).astype(np.float32)
+        t = (1 / (1 + np.exp(-rng.normal(-0.8, 0.8, size=batch)))).astype(
+            np.float32
+        )  # scale_shift_sigmoid-shaped
+        noise = rng.normal(size=img.shape).astype(np.float32)
+        # JiT polarity (clean at t=1): x_t = t*x0 + (1-t)*eps
+        noisy = (
+            t[:, None, None, None] * img
+            + (1 - t[:, None, None, None]) * noise
+        )
+        osz = np.full((batch, 2), float(size), dtype=np.float32)
+        crop = np.zeros((batch, 2), dtype=np.float32)
+        mask = np.ones((batch, 5), dtype=np.int64)
+        return img, ctx, t, noisy, osz, crop, mask
+
+    def torch_loss(pred, img_t, noisy_t, t_t):
+        denom = (1.0 - t_t).clamp(min=eps).view(-1, 1, 1, 1)
+        return (((pred - noisy_t) / denom - (img_t - noisy_t) / denom) ** 2).mean()
+
+    @nnx.jit
+    def jax_step(model, optimizer, img, ctx, t, noisy, osz, crop, mask):
+        def loss_fn(m):
+            pred = m(noisy, t, ctx, osz, osz, crop, mask)
+            denom = jnp.maximum(1.0 - t, eps).reshape(-1, 1, 1, 1)
+            return jnp.mean(
+                jnp.square((pred - noisy) / denom - (img - noisy) / denom)
+            )
+
+        loss, grads = nnx.value_and_grad(loss_fn)(model)
+        optimizer.update(model, grads)
+        return loss
+
+    t_losses, j_losses = [], []
+    fixed = step_data()  # one batch reused -> the loss actually descends
+    set_default_attention_dtype(None)
+    try:
+        for _ in range(steps):
+            img, ctx, t, noisy, osz, crop, mask = fixed
+
+            topt.zero_grad()
+            pred = tmodel(
+                image=torch.from_numpy(noisy),
+                timestep=torch.from_numpy(t),
+                context=torch.from_numpy(ctx),
+                original_size=torch.from_numpy(osz),
+                target_size=torch.from_numpy(osz),
+                crop_coords=torch.from_numpy(crop),
+                context_mask=torch.from_numpy(mask),
+            )
+            tl = torch_loss(
+                pred, torch.from_numpy(img), torch.from_numpy(noisy),
+                torch.from_numpy(t),
+            )
+            tl.backward()
+            topt.step()
+            t_losses.append(float(tl))
+
+            jl = jax_step(
+                jmodel, joptimizer,
+                jnp.asarray(img.transpose(0, 2, 3, 1)),
+                jnp.asarray(ctx), jnp.asarray(t),
+                jnp.asarray(noisy.transpose(0, 2, 3, 1)),
+                jnp.asarray(osz), jnp.asarray(crop), jnp.asarray(mask),
+            )
+            j_losses.append(float(jl))
+    finally:
+        set_default_attention_dtype(jnp.bfloat16)
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=2e-3, atol=2e-4)
+    assert t_losses[-1] < t_losses[0]  # both actually trained
