@@ -235,3 +235,32 @@ def test_inference_server_http_roundtrip():
         assert exc_info.value.code == 422
     finally:
         server.shutdown()
+
+
+def test_compiled_memory_analysis():
+    """Static XLA memory accounting (the TPU substitute for the reference's
+    CUDA allocator snapshots — tools/bench/sdxl_quant.py matrix)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vision_pt_tpu.utils.memory import (
+        compiled_memory_analysis,
+        format_bytes,
+        peak_hbm_record,
+    )
+
+    @jax.jit
+    def f(x):
+        return (x @ x.T).sum(axis=0)
+
+    x = jnp.zeros((256, 512), dtype=jnp.float32)
+    mem = compiled_memory_analysis(f, x)
+    assert mem is not None
+    assert mem["argument_bytes"] >= 256 * 512 * 4
+    assert mem["total_bytes"] > 0
+    assert "MiB" in format_bytes(mem["argument_bytes"]) or "KiB" in format_bytes(
+        mem["argument_bytes"]
+    )
+
+    rec = peak_hbm_record(f, x)
+    assert rec["static"]["total_bytes"] == mem["total_bytes"]

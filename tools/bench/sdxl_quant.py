@@ -100,21 +100,48 @@ def main(model_path, text_encoder, denoiser, skip_offload, prompt, height,
     elapsed = time.perf_counter() - start
 
     peak = device_memory_bytes()
+    static_mem = None
     if peak is None:
-        # remote-tunneled TPUs expose neither memory_stats nor the device
-        # memory profiler; degrade gracefully
-        try:
-            prof = out_dir / f"{run_name}.memory.prof"
-            jax.profiler.save_device_memory_profile(str(prof))
-            print(f"memory profile -> {prof}")
-        except Exception as e:  # noqa: BLE001
-            print(f"device memory introspection unavailable: {e}")
+        # remote-tunneled TPUs expose neither memory_stats nor the runtime
+        # memory profiler (it segfaults over the axon tunnel); record XLA's
+        # static memory analysis of the hot compiled program instead — the
+        # CFG-doubled denoiser forward dominates peak HBM
+        import jax.numpy as jnp
+        from flax import nnx
+
+        from vision_pt_tpu.utils.memory import (
+            compiled_memory_analysis,
+            format_bytes,
+        )
+
+        b = 2  # CFG doubled batch of 1
+        lat_h, lat_w = height // 8, width // 8
+        den_step = nnx.jit(
+            lambda den, lat, t, ehs, pooled, sz, crop: den(
+                lat, t, ehs, pooled, sz, sz, crop
+            )
+        )
+        static_mem = compiled_memory_analysis(
+            den_step, model.denoiser,
+            jnp.zeros((b, lat_h, lat_w, 4), dtype=jnp.bfloat16),
+            jnp.zeros((b,), dtype=jnp.float32),
+            jnp.zeros((b, 154, 2048), dtype=jnp.bfloat16),
+            jnp.zeros((b, 1280), dtype=jnp.bfloat16),
+            jnp.full((b, 2), float(height), dtype=jnp.float32),
+            jnp.zeros((b, 2), dtype=jnp.float32),
+        )
+        if static_mem:
+            print(
+                "static denoiser-step HBM: "
+                f"{format_bytes(static_mem['total_bytes'])}"
+            )
 
     image.save(out_dir / f"{run_name}.webp")
     record = {
         "run": run_name, "height": height, "width": width,
         "steps": num_inference_steps, "seconds": round(elapsed, 3),
         "peak_hbm_bytes": peak,
+        "static_denoiser_step_hbm": static_mem,
     }
     print(json.dumps(record))
     with open(out_dir / f"{run_name}.json", "w") as f:
