@@ -23,8 +23,8 @@ _ALIASES: dict[str, str] = {
     "torch.optim.rmsprop": "rmsprop",
     "torch.optim.adagrad": "adagrad",
     "torch.optim.adafactor": "adafactor",
-    "bitsandbytes.optim.adamw8bit": "adamw",  # int8 state: tracked for later
-    "bitsandbytes.optim.adam8bit": "adam",
+    "bitsandbytes.optim.adamw8bit": "adamw8bit",  # int8 moments (optim8bit)
+    "bitsandbytes.optim.adam8bit": "adam8bit",
     "bitsandbytes.optim.lion8bit": "lion",
     "bitsandbytes.optim.lion": "lion",
     "schedulefree.adamwschedulefree": "schedule_free_adamw",
@@ -63,6 +63,11 @@ def _build(name: str, args: dict) -> optax.GradientTransformation:
         return optax.contrib.schedule_free_adamw(
             learning_rate=lr, warmup_steps=warmup, **args
         )
+    if name in ("adamw8bit", "adam8bit"):
+        from .optim8bit import adam8bit, adamw8bit
+
+        fn = adamw8bit if name == "adamw8bit" else adam8bit
+        return fn(**args)
     if name == "prodigy":
         return optax.contrib.prodigy(**args)
     if name == "came":
