@@ -162,9 +162,18 @@ class QuantLinear4bit(nnx.Module):
     @classmethod
     def from_linear(cls, linear: nnx.Linear, quant_type: str = "nf4",
                     blocksize: int = BLOCK) -> "QuantLinear4bit":
-        kernel = np.asarray(linear.kernel.value)  # (in, out)
-        w_torch = kernel.T  # (out, in) row-major, bnb layout
-        packed, state = quantize_4bit(w_torch, blocksize, quant_type)
+        kernel = linear.kernel.value  # (in, out)
+        if isinstance(kernel, jax.Array):
+            # quantize on the accelerator: the single-core host takes
+            # minutes per big layer in NumPy
+            from .nf4 import quantize_4bit_device
+
+            packed, state = quantize_4bit_device(
+                jnp.transpose(kernel), blocksize, quant_type
+            )
+        else:
+            w_torch = np.asarray(kernel).T  # (out, in) row-major, bnb layout
+            packed, state = quantize_4bit(w_torch, blocksize, quant_type)
         module = cls(
             in_features=kernel.shape[0],
             out_features=kernel.shape[1],

@@ -40,6 +40,22 @@ FP4_CODE = np.concatenate([_FP4_POS, -_FP4_POS]).astype(np.float32)
 CODEBOOKS = {"nf4": NF4_CODE, "fp4": FP4_CODE}
 
 
+def _nearest_code_indices(values: np.ndarray, code: np.ndarray) -> np.ndarray:
+    """Index of the nearest codebook entry per value (ties -> lowest index,
+    matching argmin semantics). Codebook may be unsorted (FP4)."""
+    order = np.argsort(code, kind="stable")
+    sorted_code = code[order]
+    mids = (sorted_code[1:] + sorted_code[:-1]) * 0.5
+    pos = np.searchsorted(mids, values, side="left")
+    # searchsorted against midpoints can land one off at exact boundaries;
+    # compare the two candidates explicitly
+    lo = np.clip(pos, 0, len(code) - 1)
+    hi = np.clip(pos + 1, 0, len(code) - 1)
+    pick_hi = np.abs(sorted_code[hi] - values) < np.abs(sorted_code[lo] - values)
+    chosen = np.where(pick_hi, hi, lo)
+    return order[chosen].astype(np.uint8)
+
+
 class QuantState4bit(NamedTuple):
     absmax: np.ndarray  # (num_blocks,) float32 (after de-nesting)
     shape: tuple[int, ...]
@@ -66,12 +82,80 @@ def quantize_4bit(
     absmax = np.abs(blocks).max(axis=1)
     safe = np.where(absmax == 0, 1.0, absmax)
     normalized = blocks / safe[:, None]
-    # nearest code value
-    idx = np.abs(normalized[..., None] - code[None, None, :]).argmin(axis=-1)
-    q = idx.reshape(-1)[:n].astype(np.uint8)
+    # nearest code value via sorted-codebook binary search: O(n log 16) with
+    # no (n, 16) broadcast temp (the argmin form took minutes at SDXL scale)
+    idx = _nearest_code_indices(normalized.reshape(-1), code)
+    q = idx[:n]
     packed = ((q[0::2] << 4) | q[1::2]).reshape(-1, 1)
     state = QuantState4bit(
         absmax=absmax.astype(np.float32),
+        shape=shape,
+        blocksize=blocksize,
+        quant_type=quant_type,
+        dtype="float32",
+    )
+    return packed, state
+
+
+@jax.jit
+def _quantize_4bit_device_nf4(flat: jax.Array) -> tuple[jax.Array, jax.Array]:
+    return _quantize_4bit_device_impl(flat, "nf4")
+
+
+@jax.jit
+def _quantize_4bit_device_fp4(flat: jax.Array) -> tuple[jax.Array, jax.Array]:
+    return _quantize_4bit_device_impl(flat, "fp4")
+
+
+def _quantize_4bit_device_impl(flat, quant_type, blocksize: int = 64):
+    code_np = CODEBOOKS[quant_type]
+    order = np.argsort(code_np, kind="stable")
+    sorted_code = code_np[order]
+    mids = (sorted_code[1:] + sorted_code[:-1]) * 0.5
+
+    blocks = flat.astype(jnp.float32).reshape(-1, blocksize)
+    absmax = jnp.max(jnp.abs(blocks), axis=1)
+    safe = jnp.where(absmax == 0, 1.0, absmax)
+    v = (blocks / safe[:, None]).reshape(-1)
+    # 15 unrolled comparisons: no (n, 16) temp, fuses into one pass
+    pos = jnp.zeros(v.shape, dtype=jnp.uint8)
+    for m in mids:
+        pos = pos + (v > float(m)).astype(jnp.uint8)
+    lo = pos.astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, len(code_np) - 1)
+    sc = jnp.asarray(sorted_code)
+    pick_hi = jnp.abs(sc[hi] - v) < jnp.abs(sc[lo] - v)
+    chosen = jnp.where(pick_hi, hi, lo)
+    q = jnp.asarray(order.astype(np.uint8))[chosen]
+    packed = (q[0::2] << 4) | q[1::2]
+    return packed, absmax
+
+
+def quantize_4bit_device(
+    w: jax.Array,
+    blocksize: int = 64,
+    quant_type: str = "nf4",
+) -> tuple[np.ndarray, QuantState4bit]:
+    """Device-side quantize_4bit: identical output, runs on the accelerator.
+
+    The host here is a single weak core (quantizing an SDXL UNet took
+    minutes in NumPy); on the chip it is one fused elementwise pass plus an
+    n/2-byte fetch.
+    """
+    assert blocksize == 64
+    shape = tuple(int(s) for s in w.shape)
+    n = int(np.prod(shape))
+    assert n % 2 == 0
+    flat = jnp.reshape(w, (-1,))
+    pad = (-n) % blocksize
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, dtype=flat.dtype)])
+    fn = (_quantize_4bit_device_nf4 if quant_type == "nf4"
+          else _quantize_4bit_device_fp4)
+    packed, absmax = fn(flat)
+    packed = np.asarray(packed[: n // 2]).reshape(-1, 1)
+    state = QuantState4bit(
+        absmax=np.asarray(absmax, dtype=np.float32),
         shape=shape,
         blocksize=blocksize,
         quant_type=quant_type,
