@@ -163,24 +163,33 @@ class QuantLinear4bit(nnx.Module):
     def from_linear(cls, linear: nnx.Linear, quant_type: str = "nf4",
                     blocksize: int = BLOCK) -> "QuantLinear4bit":
         kernel = linear.kernel.value  # (in, out)
-        if isinstance(kernel, jax.Array):
-            # quantize on the accelerator: the single-core host takes
-            # minutes per big layer in NumPy
-            from .nf4 import quantize_4bit_device
-
-            packed, state = quantize_4bit_device(
-                jnp.transpose(kernel), blocksize, quant_type
-            )
-        else:
-            w_torch = np.asarray(kernel).T  # (out, in) row-major, bnb layout
-            packed, state = quantize_4bit(w_torch, blocksize, quant_type)
         module = cls(
             in_features=kernel.shape[0],
             out_features=kernel.shape[1],
             use_bias=linear.bias is not None,
             quant_type=quant_type,
         )
-        module._set_from_bnb(packed, state.absmax)
+        if isinstance(kernel, jax.Array) and module.layout == "kernel":
+            # all-device fast path straight into the kernel layout — no host
+            # round trip (the single-core host takes minutes per big layer)
+            from .nf4 import quantize_4bit_device_kernel_layout
+
+            packed_deint, absmax = quantize_4bit_device_kernel_layout(
+                jnp.transpose(kernel), quant_type, blocksize
+            )
+            module.packed.value = packed_deint
+            module.absmax.value = absmax
+        elif isinstance(kernel, jax.Array):
+            from .nf4 import quantize_4bit_device
+
+            packed, state = quantize_4bit_device(
+                jnp.transpose(kernel), blocksize, quant_type
+            )
+            module._set_from_bnb(packed, state.absmax)
+        else:
+            w_torch = np.asarray(kernel).T  # (out, in) row-major, bnb layout
+            packed, state = quantize_4bit(w_torch, blocksize, quant_type)
+            module._set_from_bnb(packed, state.absmax)
         if linear.bias is not None:
             module.bias = nnx.Param(linear.bias.value)
         return module

@@ -15,6 +15,7 @@ bit-for-bit.
 
 from __future__ import annotations
 
+import functools
 import json
 from typing import NamedTuple
 
@@ -162,6 +163,39 @@ def quantize_4bit_device(
         dtype="float32",
     )
     return packed, state
+
+
+@functools.partial(jax.jit, static_argnames=("quant_type", "blocksize"))
+def quantize_4bit_device_kernel_layout(
+    w: jax.Array,  # (out, in)
+    quant_type: str = "nf4",
+    blocksize: int = 64,
+) -> tuple[jax.Array, jax.Array]:
+    """Quantize straight into the Pallas kernel's deinterleaved layout —
+    (out, in//2) packed uint8 + (out, in//blocksize) absmax — entirely on
+    device (no host round trip; this is the QLoRA model-surgery hot path)."""
+    out_dim, in_dim = w.shape
+    code_np = CODEBOOKS[quant_type]
+    order = np.argsort(code_np, kind="stable")
+    sorted_code = code_np[order]
+    mids = (sorted_code[1:] + sorted_code[:-1]) * 0.5
+
+    blocks = w.astype(jnp.float32).reshape(-1, blocksize)
+    absmax = jnp.max(jnp.abs(blocks), axis=1)
+    safe = jnp.where(absmax == 0, 1.0, absmax)
+    v = (blocks / safe[:, None]).reshape(out_dim, in_dim)
+    pos = jnp.zeros(v.shape, dtype=jnp.uint8)
+    for m in mids:
+        pos = pos + (v > float(m)).astype(jnp.uint8)
+    lo = pos.astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, len(code_np) - 1)
+    sc = jnp.asarray(sorted_code)
+    pick_hi = jnp.abs(sc[hi] - v) < jnp.abs(sc[lo] - v)
+    q = jnp.asarray(order.astype(np.uint8))[jnp.where(pick_hi, hi, lo)]
+    left = q[:, : in_dim // 2]
+    right = q[:, in_dim // 2 :]
+    packed_deint = ((left << 4) | right).astype(jnp.uint8)
+    return packed_deint, absmax.reshape(out_dim, in_dim // blocksize)
 
 
 def unpack_4bit(packed: np.ndarray) -> np.ndarray:
