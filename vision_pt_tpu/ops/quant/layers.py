@@ -60,9 +60,20 @@ def _dequant_deint(packed_deint, absmax, quant_type, shape, dtype):
     return (w * scales).astype(dtype)
 
 
+# below this many x rows the op is weight-memory-bound and the Pallas
+# fused dequant-matmul wins; above it (training batches) a dequant + plain
+# XLA matmul is compute-bound anyway and compiles ~100x faster (a QLoRA
+# UNet has ~560 quantized linears in ONE program — per-call Mosaic kernels
+# blew the remote compiler's budget)
+_PALLAS_MAX_ROWS = 1024
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _q4_matmul(x, packed, absmax, quant_type, shape, layout):
-    if layout == "kernel" and _on_tpu():
+    m = 1
+    for s in x.shape[:-1]:
+        m *= int(s)
+    if layout == "kernel" and _on_tpu() and m <= _PALLAS_MAX_ROWS:
         return dequant_matmul_4bit(x, packed, absmax, quant_type=quant_type)
     w = _dequant_dense(packed, absmax, quant_type, shape, x.dtype, layout)
     return x @ w.T
