@@ -139,3 +139,80 @@ def test_sdxl_lora_training_step(tmp_path, image_folder):
     sd = trainer.model.get_state_dict_to_save()
     assert all("lora" in k or k.endswith("alpha") for k in sd)
     assert any(k.startswith("diffusion_model.") for k in sd)
+
+
+def test_qlora_module_tree_surgery_and_step():
+    """Driver config #4 path at module level: NF4-quantize the UNet's
+    attention/ff linears, LoRA on top, grads flow to adapters only and the
+    quantized base stays fixed."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from vision_pt_tpu.models.sdxl.config import DenoiserConfig
+    from vision_pt_tpu.models.sdxl.denoiser import Denoiser
+    from vision_pt_tpu.ops.quant import quantize_inplace
+    from vision_pt_tpu.ops.quant.layers import QuantLinear4bit
+    from vision_pt_tpu.peft import AdapterParam, LoRAConfig
+    from vision_pt_tpu.peft.functional import (
+        iter_named_modules,
+        replace_to_peft_layer,
+    )
+
+    unet = Denoiser(DenoiserConfig(**TINY_UNET), rngs=nnx.Rngs(0))
+    n_quant = len(
+        quantize_inplace(unet, "bnb_nf4", include_keys=["attn1", "attn2", ".ff."])
+    )
+    assert n_quant > 0
+    replaced = replace_to_peft_layer(
+        unet, ["attn1", "attn2"], [],
+        LoRAConfig(type="lora", rank=2, dtype="float32"), seed=0,
+    )
+    assert replaced, "LoRA did not wrap any quantized linear"
+    # at least one LoRA wraps a QuantLinear4bit base
+    assert any(
+        m.__class__.__name__ == "LoRALinear"
+        and isinstance(getattr(m, "linear", None), QuantLinear4bit)
+        for _, m in iter_named_modules(unet)
+    )
+
+    opt = nnx.Optimizer(unet, optax.adamw(1e-3), wrt=AdapterParam)
+    lat = jax.random.normal(jax.random.key(0), (2, 16, 16, 4))
+    t = jnp.asarray([10.0, 500.0])
+    ctx = jax.random.normal(jax.random.key(1), (2, 7, TINY_UNET["context_dim"]))
+    pooled = jax.random.normal(jax.random.key(2), (2, 1280))
+    sz = jnp.full((2, 2), 128.0)
+
+    def snap_packed():
+        return {
+            path: np.asarray(m.packed.value).copy()
+            for path, m in iter_named_modules(unet)
+            if isinstance(m, QuantLinear4bit)
+        }
+
+    packed_before = snap_packed()
+
+    @nnx.jit
+    def step(unet, opt):
+        def loss_fn(m):
+            out = m(lat, t, ctx, pooled, sz, sz, jnp.zeros_like(sz))
+            return jnp.mean(jnp.square(out))
+
+        loss, grads = nnx.value_and_grad(
+            loss_fn, argnums=nnx.DiffState(0, AdapterParam)
+        )(unet)
+        opt.update(unet, grads)
+        return loss
+
+    l0 = float(step(unet, opt))
+    l1 = float(step(unet, opt))
+    assert np.isfinite(l0) and np.isfinite(l1)
+    assert l1 != l0  # adapters actually moved
+
+    packed_after = snap_packed()
+    assert set(packed_before) == set(packed_after)
+    for key in packed_before:
+        np.testing.assert_array_equal(
+            packed_before[key], packed_after[key]
+        )  # base never updates
