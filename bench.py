@@ -1,43 +1,102 @@
-"""Headline benchmark: JiT-B/16 256x256 pretraining throughput, one chip.
+"""Driver benchmark: all single-chip driver configs, one JSON line.
 
-Runs the real training step (forward + backward + adamw update, bf16
-compute) on synthetic data and reports steady-state images/sec/chip. At this
-sequence length (298 tokens) the attention auto-dispatch picks XLA's fused
-attention — the Pallas flash kernel only wins at S >= 1024, where its block
-padding amortizes (measured: flash at S=298 pads to 512 and OOMs batch 128;
-XLA is 1.4x faster at batch 64).
+Headline: JiT-B/16 256x256 pretraining throughput (real train step: forward
++ backward + adamw, bf16 compute) on synthetic data, with measured MFU
+(FLOPs from XLA cost analysis / chip peak). ``vs_baseline`` divides by the
+documented A100 reference anchor — see BASELINE.md "Throughput anchor" for
+the arithmetic (the torch reference publishes no numbers; loss-curve parity
+is measured live in tests/models/test_jit_parity.py).
 
-``vs_baseline`` compares against an estimated PyTorch-reference A100
-throughput for the same workload (the reference publishes no numbers —
-BASELINE.md). Estimate: JiT-B ~130M params, 256 image tokens + 42 aux tokens,
-~2e11 train FLOPs/image; A100 bf16 312 TFLOP/s at a generous 40% MFU
-=> ~600 img/s. The north-star target is 1.5x that per chip.
+``extra`` carries the remaining driver configs (BASELINE.md targets table):
+JiT-S 64^2 fp32 step, JiT-B sampler steps/s, SDXL UNet LoRA 1024^2 bf16
+step, SDXL QLoRA NF4 step, Pallas flash-attention S=4096 vs XLA, NF4
+dequant-matmul vs bf16. Each section is budget-guarded and reports
+{"skipped": reason} instead of failing the whole bench.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
+"chip", "extra"}.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
+import traceback
 
+# See BASELINE.md "Throughput anchor": A100 bf16 312 TFLOP/s x 40% assumed
+# MFU / measured 2.08e11 train-FLOPs per image ~= 600 img/s.
 A100_REFERENCE_IMAGES_PER_SEC = 600.0
+BUDGET_S = float(os.environ.get("GRAFT_BENCH_BUDGET", 2400))
+_T0 = time.time()
+
+# bf16 peak FLOP/s per chip by device kind substring
+_CHIP_PEAK = [
+    ("v5 lite", 197e12), ("v5e", 197e12),
+    ("v5p", 459e12), ("v4", 275e12), ("v6", 918e12),
+]
 
 
-def main():
+def _elapsed() -> float:
+    return time.time() - _T0
+
+
+def _debug(msg: str) -> None:
+    if os.environ.get("GRAFT_BENCH_DEBUG"):
+        import sys
+
+        print(f"[bench {int(_elapsed())}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _budget_left(need: float = 60.0) -> bool:
+    return _elapsed() + need < BUDGET_S
+
+
+def _chip_peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _CHIP_PEAK:
+        if sub in kind:
+            return peak
+    return 197e12  # default: v5e
+
+
+def _time_steps(fn, steps: int = 10, windows: int = 3) -> float:
+    """Best-of-N windows seconds per step (the tunneled chip shares its
+    host; a single window under-reports under contention)."""
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(steps):
+            out = fn(i)
+        _block(out)
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best
+
+
+def _block(out):
+    import jax
+
+    jax.tree.map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+        out,
+    )
+
+
+# ------------------------------------------------------------ JiT train
+
+
+def _jit_train_setup(config, batch, size, *, dtype, param_dtype):
     import jax
     import jax.numpy as jnp
     import optax
     from flax import nnx
 
-    from vision_pt_tpu.models.jit.config import JiT_B_16_Config
     from vision_pt_tpu.models.jit.denoiser import Denoiser
     from vision_pt_tpu.ops.loss.flow_match import prepare_scaled_noised_latents
     from vision_pt_tpu.ops.timestep.sampling import scale_shift_sigmoid_randn
 
-    batch, size = 64, 256
-    config = JiT_B_16_Config()
-    model = Denoiser(config, dtype=jnp.bfloat16, param_dtype=jnp.float32,
+    model = Denoiser(config, dtype=dtype, param_dtype=param_dtype,
                      rngs=nnx.Rngs(0))
     optimizer = nnx.Optimizer(model, optax.adamw(1e-4), wrt=nnx.Param)
 
@@ -52,7 +111,8 @@ def main():
         def loss_fn(m):
             t = scale_shift_sigmoid_randn(k_t, batch)
             noisy, noise = prepare_scaled_noised_latents(k_n, images, t)
-            pred = m(noisy.astype(jnp.bfloat16), t, context, sizes, sizes, crop)
+            pred = m(noisy.astype(dtype or images.dtype), t, context,
+                     sizes, sizes, crop)
             denom = jnp.maximum(1.0 - t.reshape(-1, 1, 1, 1), 0.05)
             target_v = (images - noisy.astype(jnp.float32)) / denom
             pred_v = (pred.astype(jnp.float32) - noisy.astype(jnp.float32)) / denom
@@ -62,40 +122,355 @@ def main():
         optimizer.update(model, grads)
         return loss
 
-    key = jax.random.key(0)
     images = jax.random.normal(
         jax.random.key(1), (batch, size, size, 3), dtype=jnp.float32
     )
     context = jax.random.normal(
         jax.random.key(2), (batch, context_len, config.context_dim),
-        dtype=jnp.bfloat16,
+        dtype=dtype or jnp.float32,
+    )
+    key = jax.random.key(0)
+    return model, optimizer, train_step, images, context, key
+
+
+def bench_headline() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from vision_pt_tpu.models.jit.config import JiT_B_16_Config
+
+    batch, size = 64, 256
+    model, optimizer, train_step, images, context, key = _jit_train_setup(
+        JiT_B_16_Config(), batch, size,
+        dtype=jnp.bfloat16, param_dtype=jnp.float32,
+    )
+    train_step(model, optimizer, images, context, key)  # compile
+    _block(None)
+    flops_per_step = _jit_cost_analysis(
+        train_step, model, optimizer, images, context, key
     )
 
-    # warmup / compile
-    train_step(model, optimizer, images, context, key).block_until_ready()
+    sec_per_step = _time_steps(
+        lambda i: train_step(model, optimizer, images, context,
+                             jax.random.fold_in(key, i)),
+        steps=15,
+    )
+    images_per_sec = batch / sec_per_step
 
-    # best-of-3 windows: the tunneled chip shares its host with other work,
-    # so a single window under-reports when the host is briefly contended
-    steps = 15
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for i in range(steps):
-            loss = train_step(model, optimizer, images, context,
-                              jax.random.fold_in(key, i))
-        loss.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
+    mfu = None
+    if flops_per_step:
+        peak = _chip_peak_flops(jax.devices()[0])
+        mfu = round(flops_per_step / sec_per_step / peak, 4)
+    return {
+        "images_per_sec": round(images_per_sec, 2),
+        "mfu": mfu,
+        "flops_per_step": flops_per_step,
+    }
 
-    images_per_sec = batch * steps / best
+
+def _jit_cost_analysis(train_step, *args) -> float | None:
+    """Total FLOPs of the compiled train step (XLA cost analysis)."""
+    try:
+        lowered = train_step.lower(*args)
+        compiled = lowered.compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def bench_jit_s_fp32() -> dict:
+    import jax
+
+    from vision_pt_tpu.models.jit.config import DenoiserConfig
+
+    config = DenoiserConfig(
+        patch_size=8, hidden_size=384, depth=12, num_heads=6,
+        bottleneck_dim=64, context_dim=384, context_start_block=4,
+        rope_axes_dims=[16, 24, 24], rope_axes_lens=[256, 64, 64],
+    )
+    import jax.numpy as jnp
+
+    batch, size = 64, 64
+    model, optimizer, train_step, images, context, key = _jit_train_setup(
+        config, batch, size, dtype=None, param_dtype=jnp.float32,
+    )
+    train_step(model, optimizer, images, context, key)
+    _block(None)
+    sec = _time_steps(
+        lambda i: train_step(model, optimizer, images, context,
+                             jax.random.fold_in(key, i)),
+        steps=20,
+    )
+    return {"value": round(batch / sec, 2), "unit": "images/sec/chip"}
+
+
+def bench_sampler() -> dict:
+    """JiT-B 256^2 Euler sampler with CFG batch doubling: denoiser steps/s
+    (the pipeline hot loop, reference ``src/models/jit/pipeline.py:437-480``)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from vision_pt_tpu.models.jit.config import JiT_B_16_Config
+    from vision_pt_tpu.models.jit.denoiser import Denoiser
+
+    config = JiT_B_16_Config()
+    model = Denoiser(config, dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                     rngs=nnx.Rngs(0))
+    batch, size = 8, 256
+    cfg_batch = batch * 2
+    context = jax.random.normal(
+        jax.random.key(1), (cfg_batch, 32, config.context_dim),
+        dtype=jnp.bfloat16,
+    )
+    sizes = jnp.full((cfg_batch, 2), float(size), dtype=jnp.float32)
+    crop = jnp.zeros((cfg_batch, 2), dtype=jnp.float32)
+
+    @nnx.jit
+    def sampler_step(model, x, t, dt):
+        # t/dt are traced arrays: one compile covers every sampler step
+        doubled = jnp.concatenate([x, x])
+        t_arr = jnp.full((cfg_batch,), t, dtype=jnp.float32)
+        pred = model(doubled, t_arr, context, sizes, sizes, crop)
+        cond, uncond = jnp.split(pred.astype(jnp.float32), 2)
+        guided = uncond + 2.0 * (cond - uncond)
+        denom = jnp.maximum(1.0 - t, 0.05)
+        v = (guided - x.astype(jnp.float32)) / denom
+        return (x.astype(jnp.float32) + v * dt).astype(x.dtype)
+
+    x = jax.random.normal(jax.random.key(0), (batch, size, size, 3),
+                          dtype=jnp.bfloat16)
+    dt = jnp.asarray(0.03, dtype=jnp.float32)
+    x = sampler_step(model, x, jnp.asarray(0.0, jnp.float32), dt)  # compile
+    _block(x)
+    sec = _time_steps(
+        lambda i: sampler_step(
+            model, x, jnp.asarray(i * 0.03, jnp.float32), dt
+        ),
+        steps=15,
+    )
+    return {
+        "value": round(1.0 / sec, 2),
+        "unit": f"sampler_steps/sec (batch {batch}, CFG)",
+    }
+
+
+def bench_flash_attention() -> dict:
+    """fwd+bwd kernel time, K iterations chained INSIDE one compiled program
+    (per-call dispatch over the tunneled chip costs ~ms and would swamp the
+    kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vision_pt_tpu.ops.attention import dot_product_attention
+
+    b, s, h, d = 4, 4096, 12, 64
+    reps = 8
+    q0 = jax.random.normal(jax.random.key(0), (b, s, h, d), dtype=jnp.bfloat16)
+
+    def make(backend):
+        def f(q):
+            return (dot_product_attention(q, q, q, backend=backend) ** 2).sum()
+
+        @jax.jit
+        def chained(q):
+            def body(q, _):
+                loss, g = jax.value_and_grad(f)(q)
+                # data dependency defeats CSE; scale keeps values sane
+                return q + g.astype(q.dtype) * jnp.bfloat16(1e-6), loss
+
+            q, losses = jax.lax.scan(body, q, None, length=reps)
+            return losses.sum()
+
+        chained(q0)  # compile
+        _block(None)
+        return chained
+
+    flash = make("flash")
+    xla = make("xla")
+    t_flash = _time_steps(lambda i: flash(q0), steps=3) / reps
+    t_xla = _time_steps(lambda i: xla(q0), steps=3) / reps
+    return {
+        "value": round(t_xla / t_flash, 3),
+        "unit": f"flash_speedup_vs_xla (S={s}, fwd+bwd)",
+        "flash_ms": round(t_flash * 1e3, 2),
+        "xla_ms": round(t_xla * 1e3, 2),
+    }
+
+
+def bench_nf4_matmul() -> dict:
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    m, k, n = 64, 8192, 8192
+    lin = nnx.Linear(k, n, use_bias=False, dtype=jnp.bfloat16,
+                     param_dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
+    from vision_pt_tpu.ops.quant.layers import QuantLinear4bit
+
+    qlin = QuantLinear4bit.from_linear(lin, quant_type="nf4")
+    x = jax.random.normal(jax.random.key(1), (m, k), dtype=jnp.bfloat16)
+
+    reps = 32
+
+    def make(layer):
+        @nnx.jit
+        def chained(layer, x):
+            def body(x, _):
+                y = layer(x)
+                return x + y * jnp.bfloat16(1e-6), y.sum()
+
+            x, ys = jax.lax.scan(body, x, None, length=reps)
+            return ys.sum()
+
+        chained(layer, x)  # compile
+        _block(None)
+        return chained
+
+    import jax.lax  # noqa: F401
+
+    bf16 = make(lin)
+    q4 = make(qlin)
+    t_bf16 = _time_steps(lambda i: bf16(lin, x), steps=3) / reps
+    t_q4 = _time_steps(lambda i: q4(qlin, x), steps=3) / reps
+    return {
+        "value": round(t_bf16 / t_q4, 3),
+        "unit": f"nf4_pallas_vs_bf16_matmul_ratio (M={m}, {k}x{n})",
+        "nf4_us": round(t_q4 * 1e6, 1),
+        "bf16_us": round(t_bf16 * 1e6, 1),
+    }
+
+
+def _sdxl_lora_setup(batch: int, res: int, quantize: bool):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from vision_pt_tpu.models.sdxl.config import DenoiserConfig
+    from vision_pt_tpu.models.sdxl.denoiser import Denoiser
+    from vision_pt_tpu.ops.loss.diffusion import prepare_noised_latents
+    from vision_pt_tpu.peft import AdapterParam, LoRAConfig
+    from vision_pt_tpu.peft.functional import replace_to_peft_layer
+
+    latent = res // 8
+    unet = Denoiser(DenoiserConfig(), dtype=jnp.bfloat16,
+                    param_dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
+    unet.set_gradient_checkpointing(True)
+    if quantize:
+        from vision_pt_tpu.ops.quant.functional import quantize_inplace
+
+        quantize_inplace(unet, "bnb_nf4", include_keys=[""])
+    replace_to_peft_layer(
+        unet, ["attn1", "attn2"], [],
+        LoRAConfig(type="lora", rank=16, alpha=1.0, dtype="bfloat16"), seed=0,
+    )
+    opt = nnx.Optimizer(unet, optax.adamw(1e-4), wrt=AdapterParam)
+
+    latents = jax.random.normal(jax.random.key(0),
+                                (batch, latent, latent, 4), dtype=jnp.bfloat16)
+    ehs = jax.random.normal(jax.random.key(1), (batch, 154, 2048),
+                            dtype=jnp.bfloat16)
+    pooled = jax.random.normal(jax.random.key(2), (batch, 1280),
+                               dtype=jnp.bfloat16)
+    sizes = jnp.full((batch, 2), float(res), dtype=jnp.float32)
+    crop = jnp.zeros((batch, 2), dtype=jnp.float32)
+
+    @nnx.jit
+    def train_step(unet, opt, latents, ehs, pooled, key):
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (batch,), 0, 1000)
+
+        def loss_fn(m):
+            noisy, noise = prepare_noised_latents(
+                kn, latents.astype(jnp.float32), t
+            )
+            pred = m(noisy.astype(jnp.bfloat16), t.astype(jnp.float32), ehs,
+                     pooled, sizes, sizes, crop)
+            return jnp.mean(jnp.square(pred.astype(jnp.float32) - noise))
+
+        loss, grads = nnx.value_and_grad(
+            loss_fn, argnums=nnx.DiffState(0, AdapterParam)
+        )(unet)
+        opt.update(unet, grads)
+        return loss
+
+    key = jax.random.key(3)
+    return unet, opt, train_step, latents, ehs, pooled, key
+
+
+def bench_sdxl_lora(quantize: bool) -> dict:
+    import jax
+
+    batch, res = 4, 1024
+    unet, opt, train_step, latents, ehs, pooled, key = _sdxl_lora_setup(
+        batch, res, quantize
+    )
+    train_step(unet, opt, latents, ehs, pooled, key)
+    _block(None)
+    sec = _time_steps(
+        lambda i: train_step(unet, opt, latents, ehs, pooled,
+                             jax.random.fold_in(key, i)),
+        steps=5, windows=2,
+    )
+    label = "sdxl_qlora_nf4" if quantize else "sdxl_lora_bf16"
+    return {
+        "value": round(batch / sec, 3),
+        "unit": f"images/sec/chip ({label}, {res}^2, rank16, remat)",
+    }
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+    _debug("headline start")
+    headline = bench_headline()
+    _debug(f"headline done: {headline}")
+
+    extra: dict = {}
+    sections = [
+        ("jit_s_64_fp32_train", bench_jit_s_fp32, 120),
+        ("jit_b_256_sampler", bench_sampler, 90),
+        ("flash_attention_s4096", bench_flash_attention, 90),
+        ("nf4_dequant_matmul", bench_nf4_matmul, 60),
+        ("sdxl_lora_1024_bf16", lambda: bench_sdxl_lora(False), 500),
+        ("sdxl_qlora_1024_nf4", lambda: bench_sdxl_lora(True), 500),
+    ]
+    for name, fn, need in sections:
+        if not _budget_left(need):
+            extra[name] = {"skipped": f"budget ({int(_elapsed())}s elapsed)"}
+            continue
+        _debug(f"section {name} start")
+        try:
+            extra[name] = fn()
+            _debug(f"section {name} done: {extra[name]}")
+        except Exception as e:  # noqa: BLE001
+            extra[name] = {
+                "error": f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            }
+            if os.environ.get("GRAFT_BENCH_DEBUG"):
+                traceback.print_exc()
+
     print(
         json.dumps(
             {
                 "metric": "jit_b_256_train_images_per_sec_per_chip",
-                "value": round(images_per_sec, 2),
+                "value": headline["images_per_sec"],
                 "unit": "images/sec/chip",
                 "vs_baseline": round(
-                    images_per_sec / A100_REFERENCE_IMAGES_PER_SEC, 3
+                    headline["images_per_sec"] / A100_REFERENCE_IMAGES_PER_SEC,
+                    3,
                 ),
+                "mfu": headline["mfu"],
+                "chip": getattr(jax.devices()[0], "device_kind", "unknown"),
+                "extra": extra,
             }
         )
     )
