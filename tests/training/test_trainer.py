@@ -228,17 +228,27 @@ def test_ema_updates_only_on_accumulation_boundaries(tmp_path):
     config.saving = None
     trainer = _run(config, tmp_path, num_items=16, batch_size=4)  # 4 steps
 
-    calls = {"n": 0}
-    inner = trainer._jit_update_ema
+    import jax
 
-    def counting(ema_state, trainable):
-        calls["n"] += 1
-        return inner(ema_state, trainable)
+    snapshots = []
+    inner = trainer.train_step
 
-    trainer._jit_update_ema = counting
+    def observing(batch, key, at_accum_boundary=True):
+        out = inner(batch, key, at_accum_boundary)
+        snapshots.append(
+            (at_accum_boundary, np.asarray(jax.tree.leaves(trainer.ema_state)[0]))
+        )
+        return out
+
+    trainer.train_step = observing
     trainer.training_loop()
     assert trainer.global_step == 4
-    assert calls["n"] == 2  # only on micro-step 2 and 4
+    boundaries = [b for b, _ in snapshots]
+    assert boundaries == [False, True, False, True]
+    # EMA frozen on non-boundary micro-steps, moving on boundaries
+    assert np.array_equal(snapshots[1][1], snapshots[2][1])  # step3 no-op
+    assert not np.array_equal(snapshots[0][1], snapshots[1][1])  # step2 moved
+    assert not np.array_equal(snapshots[2][1], snapshots[3][1])  # step4 moved
 
 
 @pytest.mark.slow
@@ -254,13 +264,13 @@ def test_partial_epoch_resume_skips_trained_batches(tmp_path):
     trainer.global_step = 6  # 1 full epoch + 2 steps into epoch 1
 
     executed = {"n": 0}
-    inner = trainer._jit_train_step
+    inner = trainer.train_step
 
     def counting(*args, **kwargs):
         executed["n"] += 1
         return inner(*args, **kwargs)
 
-    trainer._jit_train_step = counting
+    trainer.train_step = counting
     trainer.training_loop()
     assert executed["n"] == 2  # only the 2 remaining batches of epoch 1
     assert trainer.global_step == 8

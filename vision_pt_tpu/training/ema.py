@@ -15,8 +15,10 @@ from flax import nnx
 
 
 def init_ema(model: nnx.Module) -> nnx.State:
-    """Snapshot current params as the EMA state."""
-    return jax.tree.map(lambda x: x, nnx.state(model, nnx.Param))
+    """Snapshot current params as the EMA state. Copies the buffers: the
+    train step donates both the param and EMA trees, and aliased leaves
+    would be donated twice."""
+    return jax.tree.map(lambda x: jnp.copy(x), nnx.state(model, nnx.Param))
 
 
 def update_ema(ema: nnx.State, model: nnx.Module, decay: float) -> nnx.State:
