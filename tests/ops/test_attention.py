@@ -162,3 +162,36 @@ def test_short_attention_matches_xla():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gn, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_short_attention_bhsd_matches_bshd():
+    from vision_pt_tpu.ops.short_attention import (
+        short_attention,
+        short_attention_bhsd,
+    )
+
+    q = jax.random.normal(jax.random.key(0), (2, 37, 4, 64), dtype=jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (2, 37, 4, 64), dtype=jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (2, 37, 4, 64), dtype=jnp.float32)
+    kv_lens = jnp.asarray([37, 21], dtype=jnp.int32)
+
+    ref = short_attention(q, k, v, kv_lens, interpret=True)
+    out = short_attention_bhsd(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), kv_lens, interpret=True,
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # grads agree too
+    g_ref = jax.grad(
+        lambda q: (short_attention(q, k, v, kv_lens, interpret=True) ** 2).sum()
+    )(q)
+    g_out = jax.grad(
+        lambda q: (
+            short_attention_bhsd(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), kv_lens, interpret=True,
+            ) ** 2
+        ).sum()
+    )(q)
+    np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=1e-4)

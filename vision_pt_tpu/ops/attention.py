@@ -216,11 +216,16 @@ def dot_product_attention(
         backend = "xla"
     if backend == "auto":
         on_tpu = _on_tpu() or interpret
-        # flash wins on long sequences (memory + 1.5x at S=4096); below ~1k
-        # the kernel's block padding (S rounds up to the block multiple) costs
-        # more than XLA's fused attention saves — measured on v5e: S=298
-        # pads to 512 (71% wasted MXU work) and keeps per-layer bf16 temps
-        # that OOM large batches.
+        # flash wins on long sequences (2.36x over XLA fwd+bwd at S=4096
+        # with 1024x1024 blocks); below ~1k, XLA. The "short"
+        # whole-(S,S)-in-VMEM kernel beats both in ISOLATION at S=298
+        # (3.87 ms/layer vs flash 5.00 vs XLA 7.52, B=64 fwd+bwd) but
+        # LOSES inside the full train step (378 vs 433 img/s on the JiT-B
+        # headline, re-measured this round): the BSHD<->BHSD transposes
+        # around the pallas call are fusion barriers that cost more than
+        # the kernel saves. auto therefore stays on XLA below the flash
+        # threshold; pass backend="short" explicitly for workloads whose
+        # fusion context differs.
         flash_ok = (
             mask is None
             and q.shape[-1] % 64 == 0
@@ -228,11 +233,6 @@ def dot_product_attention(
             and k.shape[1] >= 1024
             and on_tpu
         )
-        # NOTE: the "short" whole-(S,S)-in-VMEM kernel measures 1.5x faster
-        # than XLA in isolation at S=298, but inside the full train step the
-        # BSHD<->BHSD transposes around the pallas call (a fusion barrier)
-        # cost more than it saves — auto stays on XLA below the flash
-        # threshold; pass backend="short" explicitly where it wins.
         backend = "flash" if flash_ok else "xla"
 
     if backend == "flash":

@@ -204,3 +204,60 @@ short_attention.defvjp(
     ),
     _short_bwd,
 )
+
+
+# ------------------------------------------------- BHSD-native entry point
+
+
+def _pad_seq_bhsd(x, target):
+    pad = target - x.shape[2]
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def short_attention_bhsd(q, k, v, kv_lens=None, scale=None, interpret=False):
+    """(B, H, S, D) attention with no layout transposes: for callers that
+    keep attention in BHSD so the pallas call isn't bracketed by relayout
+    passes (the transposes are fusion barriers that cost more than the
+    kernel saves at JiT scale — see ops/attention.py dispatch notes)."""
+    out, _ = _short_bhsd_fwd(q, k, v, kv_lens, scale, interpret)
+    return out
+
+
+def _prep_bhsd(q, k, v, kv_lens):
+    batch, heads, sq, dim = q.shape
+    sk = k.shape[2]
+    if kv_lens is None:
+        kv_lens = jnp.full((batch,), sk, dtype=jnp.int32)
+    qb = _pad_seq_bhsd(q, _ceil_to(sq, 8))
+    kb = _pad_seq_bhsd(k, _ceil_to(sk, 8))
+    vb = _pad_seq_bhsd(v, _ceil_to(sk, 8))
+    return qb, kb, vb, kv_lens.astype(jnp.int32), sq, sk
+
+
+def _short_bhsd_fwd(q, k, v, kv_lens, scale, interpret):
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    qb, kb, vb, lens, sq, sk = _prep_bhsd(q, k, v, kv_lens)
+    out = _run_fwd(qb, kb, vb, lens, scale, interpret)
+    return out[:, :, :sq], (q, k, v, kv_lens)
+
+
+def _short_bhsd_bwd(scale, interpret, res, dout):
+    q, k, v, kv_lens = res
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    qb, kb, vb, lens, sq, sk = _prep_bhsd(q, k, v, kv_lens)
+    dob = _pad_seq_bhsd(dout.astype(q.dtype), qb.shape[2])
+    dq, dk, dv = _run_bwd(qb, kb, vb, dob, lens, scale, interpret)
+    return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk], None
+
+
+short_attention_bhsd.defvjp(
+    lambda q, k, v, kv_lens, scale, interpret: _short_bhsd_fwd(
+        q, k, v, kv_lens, scale, interpret
+    ),
+    _short_bhsd_bwd,
+)
