@@ -99,6 +99,11 @@ class TrainerConfig(BaseModel):
 
     checkpointing: CheckpointingConfig = CheckpointingConfig()
 
+    # flush metrics/progress every N steps; fetching device scalars syncs
+    # the async dispatch pipeline, so raising this overlaps host logging
+    # with TPU compute (1 = reference per-step behavior)
+    log_every_n_steps: int = 1
+
     # observability (SURVEY §5: the reference has no tracer/sanitizer in the
     # train path; these are the cheap JAX equivalents)
     debug_nans: bool = False  # jax_debug_nans: fail fast on the first NaN

@@ -136,22 +136,32 @@ class ModelForTraining(ABC):
     def log(self, name: str, value, on_step: bool = True, on_epoch: bool = False):
         """Buffer a metric (reference ``for_training.py:171-189``). Cross-rank
         mean-reduce happens naturally: metrics coming out of the jitted step
-        are already replicated means under data-parallel sharding."""
-        if hasattr(value, "item"):
-            value = float(np.asarray(value).mean())
+        are already replicated means under data-parallel sharding.
+
+        Device values are buffered as-is and only fetched at flush time
+        (``_send_logs_at_step``): an eager float() here would sync the
+        async dispatch pipeline on every metric of every step."""
         if on_step:
             self._logs_at_step[name] = value
         if on_epoch:
             self._logs_at_epoch.setdefault(name, []).append(value)
 
+    @staticmethod
+    def _to_float(value):
+        if hasattr(value, "item") or hasattr(value, "block_until_ready"):
+            return float(np.asarray(value).mean())
+        return value
+
     def _send_logs_at_step(self):
         if self._logs_at_step:
+            fetched = {k: self._to_float(v) for k, v in self._logs_at_step.items()}
             for tracker in self._trackers:
-                tracker.log(self._logs_at_step, step=self._current_step)
+                tracker.log(fetched, step=self._current_step)
         self._logs_at_step = {}
 
     def _send_logs_at_epoch(self):
         for name, values in self._logs_at_epoch.items():
+            values = [self._to_float(v) for v in values]
             if values and isinstance(values[0], (int, float)):
                 for tracker in self._trackers:
                     tracker.log(

@@ -484,9 +484,13 @@ class Trainer:
                     self.model.log(
                         "train/lr", float(self.lr_schedule(self.global_step))
                     )
-                self.model.after_train_step()
                 pbar.update()
-                pbar.set_postfix(loss=float(loss))
+                # flushing fetches device scalars (a pipeline sync); at
+                # log_every_n_steps > 1 compute keeps running while the
+                # host falls behind by a few steps
+                if self.global_step % cfg.trainer.log_every_n_steps == 0:
+                    self.model.after_train_step()
+                    pbar.set_postfix(loss=float(loss))
 
                 self.call_saving_callbacks()
                 self.call_preview_callbacks()
