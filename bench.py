@@ -452,6 +452,50 @@ def bench_sdxl_lora(quantize: bool) -> dict:
     }
 
 
+def bench_jit_latent() -> dict:
+    """Driver config #2: JiT-B over cached VAE latents at 256^2-equivalent
+    (32^2 x 4ch latents, patch 2 -> the same 256-token stream as pixel
+    patch-16, but the step starts at the denoiser — no in-step VAE encode,
+    per data/latent_cache.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vision_pt_tpu.models.jit.config import DenoiserConfig
+
+    config = DenoiserConfig(
+        in_channels=4, out_channels=4, patch_size=2,
+        hidden_size=768, depth=12, num_heads=12, bottleneck_dim=128,
+        context_dim=768, context_start_block=4,
+        rope_axes_dims=[16, 24, 24], rope_axes_lens=[256, 128, 128],
+    )
+    batch, latent_size = 64, 32
+    state, pure_step, images, context, key = _jit_train_setup(
+        config, batch, latent_size,
+        dtype=jnp.bfloat16, param_dtype=jnp.float32,
+    )
+    # cached latents stand in for images (4 channels)
+    latents = jax.random.normal(
+        jax.random.key(7), (batch, latent_size, latent_size, 4),
+        dtype=jnp.float32,
+    )
+    state, loss = pure_step(state, latents, context, key)
+    float(loss)
+
+    box = {"state": state}
+
+    def run(i):
+        box["state"], loss = pure_step(
+            box["state"], latents, context, jax.random.fold_in(key, i)
+        )
+        return loss
+
+    sec = _time_steps(run, steps=15)
+    return {
+        "value": round(batch / sec, 2),
+        "unit": "images/sec/chip (latent-space 256^2-equivalent, cached VAE)",
+    }
+
+
 def main():
     import jax
 
@@ -465,6 +509,7 @@ def main():
 
     extra: dict = {}
     sections = [
+        ("jit_b_latent_256_train", bench_jit_latent, 180),
         ("jit_s_64_fp32_train", bench_jit_s_fp32, 120),
         ("jit_b_256_sampler", bench_sampler, 90),
         ("flash_attention_s4096", bench_flash_attention, 90),
