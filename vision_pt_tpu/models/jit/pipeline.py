@@ -216,6 +216,57 @@ class JiTModel:
         crop = jnp.zeros((batch_size, 2), dtype=dtype)
         return original, target, crop
 
+    def _scan_sample(self, noisy_image, ts, dts, context, mask, original_size,
+                     target_size, crop_coords, cfg_scale, *, use_cfg: bool,
+                     do_cfg_renorm: bool, do_dynamic_thresholding: bool):
+        """Whole Euler loop in one jitted lax.scan (no per-step dispatch).
+        Reuses the same velocity/CFG methods as the step-wise path, so the
+        math is identical; only usable when CFG gating is constant across
+        steps (the default)."""
+        if not hasattr(self, "_scan_sample_jit"):
+            def fn(denoiser, x, ts, dts, context, mask, osz, tsz, crop,
+                   cfg_scale, use_cfg, do_cfg_renorm, do_dynamic_thresholding):
+                def body(x, t_dt):
+                    t, dt = t_dt
+                    inp = jnp.concatenate([x, x]) if use_cfg else x
+                    n = inp.shape[0]
+                    pred = denoiser(
+                        image=inp,
+                        timestep=jnp.full((n,), t, dtype=jnp.float32),
+                        context=context,
+                        original_size=osz,
+                        target_size=tsz,
+                        crop_coords=crop,
+                        context_mask=mask,
+                    )
+                    if use_cfg:
+                        v = self.make_cfg_velocity_pred(
+                            pred, x, t, cfg_scale=cfg_scale,
+                            do_cfg_renorm=do_cfg_renorm,
+                            do_dynamic_thresholding=do_dynamic_thresholding,
+                        )
+                    else:
+                        v = self.make_velocity_pred(pred, x, t)
+                    # keep the carry in the execution dtype (dt is f32 and
+                    # would promote the carry)
+                    return x + v.astype(x.dtype) * dt.astype(x.dtype), None
+
+                x, _ = jax.lax.scan(body, x, (ts, dts))
+                return x
+
+            self._scan_sample_jit = nnx.jit(
+                fn,
+                static_argnames=(
+                    "use_cfg", "do_cfg_renorm", "do_dynamic_thresholding"
+                ),
+            )
+        return self._scan_sample_jit(
+            self.denoiser, noisy_image, ts, dts, context, mask,
+            original_size, target_size, crop_coords, cfg_scale,
+            use_cfg=use_cfg, do_cfg_renorm=do_cfg_renorm,
+            do_dynamic_thresholding=do_dynamic_thresholding,
+        )
+
     # -- velocity conversions (reference ``pipeline.py:253-376``) ---------
 
     def image_to_velocity(self, image, noisy, timestep, clamp_eps: float = 1e-5):
@@ -324,9 +375,34 @@ class JiTModel:
             dtype=execution_dtype,
         )
 
+        step_uses_cfg = [
+            do_cfg and cfg_time_range[0] <= float(t) <= cfg_time_range[1]
+            for t in timesteps[:-1]
+        ]
+        if len(set(step_uses_cfg)) == 1:
+            # homogeneous CFG across steps (the default (0,1) range): run
+            # the whole Euler loop as ONE scanned program — no per-step
+            # dispatch / nnx traversal
+            noisy_image = self._scan_sample(
+                noisy_image,
+                jnp.asarray(timesteps[:-1]),
+                jnp.asarray(timesteps[1:] - timesteps[:-1]),
+                prompt_embeddings,
+                attention_mask,
+                original_size,
+                target_size,
+                crop_coords,
+                jnp.asarray(cfg_scale, dtype=jnp.float32),
+                use_cfg=step_uses_cfg[0],
+                do_cfg_renorm=do_cfg_renorm,
+                do_dynamic_thresholding=do_dynamic_thresholding,
+            )
+            if return_arrays:
+                return noisy_image
+            return tensor_utils.tensor_to_images(noisy_image)
+
         for i, t in enumerate(timesteps[:-1]):
-            is_in_cfg_time = cfg_time_range[0] <= float(t) <= cfg_time_range[1]
-            use_cfg = do_cfg and is_in_cfg_time
+            use_cfg = step_uses_cfg[i]
 
             image_input = (
                 jnp.concatenate([noisy_image] * 2) if use_cfg else noisy_image
