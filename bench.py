@@ -232,57 +232,50 @@ def bench_jit_s_fp32() -> dict:
 
 
 def bench_sampler() -> dict:
-    """JiT-B 256^2 Euler sampler with CFG batch doubling: denoiser steps/s
-    (the pipeline hot loop, reference ``src/models/jit/pipeline.py:437-480``)."""
+    """JiT-B 256^2 end-to-end pipeline sampler (scanned Euler loop with CFG
+    batch doubling — ``JiTModel.generate``): sampler steps/s."""
+    import json
+    import tempfile
+    import time as _time
+
     import jax
-    import jax.numpy as jnp
-    from flax import nnx
 
-    from vision_pt_tpu.models.jit.config import JiT_B_16_Config
-    from vision_pt_tpu.models.jit.denoiser import Denoiser
+    from vision_pt_tpu.models.jit.config import JiTConfig
+    from vision_pt_tpu.models.jit.pipeline import JiTModel
 
-    config = JiT_B_16_Config()
-    model = Denoiser(config, dtype=jnp.bfloat16, param_dtype=jnp.float32,
-                     rngs=nnx.Rngs(0))
-    batch, size = 8, 256
-    cfg_batch = batch * 2
-    context = jax.random.normal(
-        jax.random.key(1), (cfg_batch, 32, config.context_dim),
-        dtype=jnp.bfloat16,
+    label2id = tempfile.mktemp(suffix=".json")
+    with open(label2id, "w") as f:
+        json.dump({f"c{i}": i for i in range(4)}, f)
+    config = JiTConfig(
+        context_encoder={"type": "class", "label2id_map_path": label2id},
+        denoiser={
+            "patch_size": 16, "hidden_size": 768, "depth": 12,
+            "num_heads": 12, "bottleneck_dim": 128, "context_dim": 768,
+            "context_start_block": 4, "rope_axes_dims": [16, 24, 24],
+            "rope_axes_lens": [256, 128, 128],
+        },
+        dtype="bfloat16",
     )
-    sizes = jnp.full((cfg_batch, 2), float(size), dtype=jnp.float32)
-    crop = jnp.zeros((cfg_batch, 2), dtype=jnp.float32)
+    model = JiTModel.new_with_config(config)
+    batch, steps = 8, 20
 
-    @nnx.jit
-    def sampler_step(model, x, t, dt):
-        # t/dt are traced arrays: one compile covers every sampler step
-        doubled = jnp.concatenate([x, x])
-        t_arr = jnp.full((cfg_batch,), t, dtype=jnp.float32)
-        pred = model(doubled, t_arr, context, sizes, sizes, crop)
-        cond, uncond = jnp.split(pred.astype(jnp.float32), 2)
-        guided = uncond + 2.0 * (cond - uncond)
-        denom = jnp.maximum(1.0 - t, 0.05)
-        v = (guided - x.astype(jnp.float32)) / denom
-        return (x.astype(jnp.float32) + v * dt).astype(x.dtype)
-
-    x = jax.random.normal(jax.random.key(0), (batch, size, size, 3),
-                          dtype=jnp.bfloat16)
-    dt = jnp.asarray(0.03, dtype=jnp.float32)
-    x = sampler_step(model, x, jnp.asarray(0.0, jnp.float32), dt)  # compile
-    box = {"x": x}
-
-    def run(i):
-        # threading x varies the input per call; [0,0,0,0] gives the
-        # scalar handle _time_steps fetches
-        box["x"] = sampler_step(
-            model, box["x"], jnp.asarray((i % 30) * 0.03, jnp.float32), dt
+    def sample(seed):
+        out = model.generate(
+            prompt=["c1"] * batch, width=256, height=256,
+            num_inference_steps=steps, cfg_scale=2.0, seed=seed,
+            return_arrays=True,
         )
-        return box["x"][0, 0, 0, 0]
+        return jax.device_get(out)
 
-    sec = _time_steps(run, steps=15)
+    sample(0)  # compile
+    best = float("inf")
+    for trial in range(3):
+        t0 = _time.perf_counter()
+        sample(trial + 1)  # fresh seed: varies the executed inputs
+        best = min(best, (_time.perf_counter() - t0) / steps)
     return {
-        "value": round(1.0 / sec, 2),
-        "unit": f"sampler_steps/sec (batch {batch}, CFG)",
+        "value": round(1.0 / best, 2),
+        "unit": f"pipeline_sampler_steps/sec (batch {batch}, CFG, scanned)",
     }
 
 

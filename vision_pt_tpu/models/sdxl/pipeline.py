@@ -298,27 +298,87 @@ class SDXLModel:
             jnp.asarray(crop_coords_top_left, dtype=jnp.float32), (n, 2))
 
         step_key = jax.random.key(seed if seed is not None else 0)
-        for i, current_timestep in enumerate(timesteps):
-            sigma, next_sigma = sigmas[i], sigmas[i + 1]
-            latent_in = jnp.concatenate([latents] * 2) if do_cfg else latents
-            latent_in = self.scheduler.scale_model_input(latent_in, sigma)
-            t_batch = jnp.full((latent_in.shape[0],), current_timestep,
-                               dtype=jnp.float32)
-            noise_pred = _denoise_step(
-                self.denoiser, latent_in, t_batch, ehs, pooled, osz, tsz, crop,
-                cross_attention_kwargs,
+        if cross_attention_kwargs is None:
+            # whole sampler as ONE scanned program (no per-step dispatch /
+            # nnx traversal); adapters passing cross_attention_kwargs use
+            # the step-wise fallback below
+            num = len(timesteps)
+            keys = jax.random.split(step_key, num)
+            latents = self._scan_sample(
+                latents,
+                jnp.asarray(timesteps),
+                jnp.asarray(sigmas[:-1]),
+                jnp.asarray(sigmas[1:]),
+                keys, ehs, pooled, osz, tsz, crop,
+                jnp.asarray(cfg_scale, dtype=jnp.float32),
+                do_cfg=do_cfg,
             )
-            if do_cfg:
-                pos_pred, neg_pred = jnp.split(noise_pred, 2, axis=0)
-                noise_pred = neg_pred + cfg_scale * (pos_pred - neg_pred)
-            step_key, sub = jax.random.split(step_key)
-            latents = self.scheduler.ancestral_step(
-                sub, latents, noise_pred, sigma, next_sigma
-            )
+        else:
+            for i, current_timestep in enumerate(timesteps):
+                sigma, next_sigma = sigmas[i], sigmas[i + 1]
+                latent_in = (
+                    jnp.concatenate([latents] * 2) if do_cfg else latents
+                )
+                latent_in = self.scheduler.scale_model_input(latent_in, sigma)
+                t_batch = jnp.full((latent_in.shape[0],), current_timestep,
+                                   dtype=jnp.float32)
+                noise_pred = _denoise_step(
+                    self.denoiser, latent_in, t_batch, ehs, pooled, osz, tsz,
+                    crop, cross_attention_kwargs,
+                )
+                if do_cfg:
+                    pos_pred, neg_pred = jnp.split(noise_pred, 2, axis=0)
+                    noise_pred = neg_pred + cfg_scale * (pos_pred - neg_pred)
+                step_key, sub = jax.random.split(step_key)
+                latents = self.scheduler.ancestral_step(
+                    sub, latents, noise_pred, sigma, next_sigma
+                )
 
         if return_latents:
             return latents
         return self.decode_image(latents, use_tiling=should_tile)
+
+    def _scan_sample(self, latents, ts, sigmas, next_sigmas, keys, ehs,
+                     pooled, osz, tsz, crop, cfg_scale, *, do_cfg: bool):
+        """Scanned ancestral-Euler loop (same scheduler math as the
+        step-wise path; per-step noise keys precomputed)."""
+        if not hasattr(self, "_scan_sample_jit"):
+            def fn(denoiser, latents, ts, sigmas, next_sigmas, keys, ehs,
+                   pooled, osz, tsz, crop, cfg_scale, do_cfg):
+                def body(latents, xs):
+                    t, sigma, next_sigma, key = xs
+                    latent_in = (
+                        jnp.concatenate([latents] * 2) if do_cfg else latents
+                    )
+                    latent_in = self.scheduler.scale_model_input(
+                        latent_in, sigma
+                    )
+                    t_batch = jnp.full(
+                        (latent_in.shape[0],), t, dtype=jnp.float32
+                    )
+                    noise_pred = denoiser(
+                        latent_in, t_batch, ehs, pooled, osz, tsz, crop
+                    )
+                    if do_cfg:
+                        pos_pred, neg_pred = jnp.split(noise_pred, 2, axis=0)
+                        noise_pred = neg_pred + cfg_scale * (
+                            pos_pred - neg_pred
+                        )
+                    latents = self.scheduler.ancestral_step(
+                        key, latents, noise_pred, sigma, next_sigma
+                    )
+                    return latents, None
+
+                latents, _ = jax.lax.scan(
+                    body, latents, (ts, sigmas, next_sigmas, keys)
+                )
+                return latents
+
+            self._scan_sample_jit = nnx.jit(fn, static_argnames=("do_cfg",))
+        return self._scan_sample_jit(
+            self.denoiser, latents, ts, sigmas, next_sigmas, keys, ehs,
+            pooled, osz, tsz, crop, cfg_scale, do_cfg=do_cfg,
+        )
 
 
 def _embed_fix(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
