@@ -10,11 +10,13 @@ is measured live in tests/models/test_jit_parity.py).
 ``extra`` carries the remaining driver configs (BASELINE.md targets table):
 JiT-S 64^2 fp32 step, JiT-B sampler steps/s, SDXL UNet LoRA 1024^2 bf16
 step, SDXL QLoRA NF4 step, Pallas flash-attention S=4096 vs XLA, NF4
-dequant-matmul vs bf16. Each section is budget-guarded and reports
-{"skipped": reason} instead of failing the whole bench.
+dequant-matmul vs bf16. Each section is budget-guarded, hard-capped with
+SIGALRM, and reports {"skipped": reason} instead of failing the whole bench.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
-"chip", "extra"}.
+Output protocol: a COMPLETE parseable JSON line is printed (flushed)
+immediately after the headline measurement, and an updated full line after
+every extra section. The driver parses the last complete line, so a mid-run
+kill still leaves a valid record with everything measured so far.
 """
 
 from __future__ import annotations
@@ -22,13 +24,15 @@ from __future__ import annotations
 import functools
 import json
 import os
+import signal
 import time
 import traceback
 
-# See BASELINE.md "Throughput anchor": A100 bf16 312 TFLOP/s x 40% assumed
-# MFU / measured 2.08e11 train-FLOPs per image ~= 600 img/s.
+# See BASELINE.md "Throughput anchor": A100 bf16 peak 312 TFLOP/s x 32%
+# assumed eager-PyTorch MFU / measured 1.65e11 train-FLOPs per image
+# (1.056e13 FLOPs/step at batch 64, XLA cost analysis) ~= 600 img/s.
 A100_REFERENCE_IMAGES_PER_SEC = 600.0
-BUDGET_S = float(os.environ.get("GRAFT_BENCH_BUDGET", 2400))
+BUDGET_S = float(os.environ.get("GRAFT_BENCH_BUDGET", 420))
 _T0 = time.time()
 
 # bf16 peak FLOP/s per chip by device kind substring
@@ -51,6 +55,29 @@ def _debug(msg: str) -> None:
 
 def _budget_left(need: float = 60.0) -> bool:
     return _elapsed() + need < BUDGET_S
+
+
+class _SectionTimeout(Exception):
+    pass
+
+
+def _run_capped(fn, cap_s: float):
+    """Run fn() with a SIGALRM hard wall-clock cap. Caveat: a signal only
+    fires between Python bytecodes, so a single long XLA *compile* can
+    overrun the cap — the incremental-emit protocol (valid JSON line already
+    printed) is the backstop for that case; the persistent compilation cache
+    (pre-warmed in-round) keeps driver-run compiles short."""
+
+    def _handler(signum, frame):
+        raise _SectionTimeout()
+
+    old = signal.signal(signal.SIGALRM, _handler)
+    signal.alarm(max(1, int(cap_s)))
+    try:
+        return fn()
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def _chip_peak_flops(device) -> float:
@@ -159,16 +186,25 @@ def bench_headline() -> dict:
         JiT_B_16_Config(), batch, size,
         dtype=jnp.bfloat16, param_dtype=jnp.float32,
     )
-    flops_per_step = _jit_cost_analysis(
-        pure_step, state, images, context, key
-    )
-    state, loss = pure_step(state, images, context, key)  # compile
+    # compile ONCE (AOT) and reuse the executable for cost analysis AND the
+    # timed runs — a separate jit call would compile the program a second
+    # time unless the persistent cache catches it
+    compiled = pure_step.lower(state, images, context, key).compile()
+    flops_per_step = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops_per_step = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    state, loss = compiled(state, images, context, key)  # warmup
     float(loss)
 
     box = {"state": state}
 
     def run(i):
-        box["state"], loss = pure_step(
+        box["state"], loss = compiled(
             box["state"], images, context, jax.random.fold_in(key, i)
         )
         return loss
@@ -185,19 +221,6 @@ def bench_headline() -> dict:
         "mfu": mfu,
         "flops_per_step": flops_per_step,
     }
-
-
-def _jit_cost_analysis(train_step, *args) -> float | None:
-    """Total FLOPs of the compiled train step (XLA cost analysis)."""
-    try:
-        lowered = train_step.lower(*args)
-        compiled = lowered.compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
-    except Exception:
-        return None
 
 
 def bench_jit_s_fp32() -> dict:
@@ -447,19 +470,21 @@ def bench_sdxl_lora(quantize: bool) -> dict:
 
 def bench_jit_latent() -> dict:
     """Driver config #2: JiT-B over cached VAE latents at 256^2-equivalent
-    (32^2 x 4ch latents, patch 2 -> the same 256-token stream as pixel
-    patch-16, but the step starts at the denoiser — no in-step VAE encode,
-    per data/latent_cache.py)."""
+    (32^2 x 4ch latents at patch 4 -> 64 image tokens vs pixel patch-16's
+    256 — a real 4x token reduction; the step starts at the denoiser, no
+    in-step VAE encode, per data/latent_cache.py). Loss-curve quality of
+    this config on the synthetic task is asserted in
+    tests/training/test_latent_patch4_quality.py."""
     import jax
     import jax.numpy as jnp
 
     from vision_pt_tpu.models.jit.config import DenoiserConfig
 
     config = DenoiserConfig(
-        in_channels=4, out_channels=4, patch_size=2,
+        in_channels=4, out_channels=4, patch_size=4,
         hidden_size=768, depth=12, num_heads=12, bottleneck_dim=128,
         context_dim=768, context_start_block=4,
-        rope_axes_dims=[16, 24, 24], rope_axes_lens=[256, 128, 128],
+        rope_axes_dims=[16, 24, 24], rope_axes_lens=[256, 64, 64],
     )
     batch, latent_size = 64, 32
     state, pure_step, images, context, key = _jit_train_setup(
@@ -485,46 +510,13 @@ def bench_jit_latent() -> dict:
     sec = _time_steps(run, steps=15)
     return {
         "value": round(batch / sec, 2),
-        "unit": "images/sec/chip (latent-space 256^2-equivalent, cached VAE)",
+        "unit": "images/sec/chip (256^2-equiv via cached VAE latents, "
+                "32^2x4ch patch 4 = 64 image tokens vs pixel's 256)",
     }
 
 
-def main():
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-
-    _debug("headline start")
-    headline = bench_headline()
-    _debug(f"headline done: {headline}")
-
-    extra: dict = {}
-    sections = [
-        ("jit_b_latent_256_train", bench_jit_latent, 180),
-        ("jit_s_64_fp32_train", bench_jit_s_fp32, 120),
-        ("jit_b_256_sampler", bench_sampler, 90),
-        ("flash_attention_s4096", bench_flash_attention, 90),
-        ("nf4_dequant_matmul", bench_nf4_matmul, 60),
-        ("sdxl_lora_1024_bf16", lambda: bench_sdxl_lora(False), 500),
-        ("sdxl_qlora_1024_nf4", lambda: bench_sdxl_lora(True), 500),
-    ]
-    for name, fn, need in sections:
-        if not _budget_left(need):
-            extra[name] = {"skipped": f"budget ({int(_elapsed())}s elapsed)"}
-            continue
-        _debug(f"section {name} start")
-        try:
-            extra[name] = fn()
-            _debug(f"section {name} done: {extra[name]}")
-        except Exception as e:  # noqa: BLE001
-            extra[name] = {
-                "error": f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
-            }
-            if os.environ.get("GRAFT_BENCH_DEBUG"):
-                traceback.print_exc()
-
+def _emit(headline: dict, extra: dict, chip: str) -> None:
+    """Print a COMPLETE parseable result line (driver keeps the last one)."""
     print(
         json.dumps(
             {
@@ -536,11 +528,65 @@ def main():
                     3,
                 ),
                 "mfu": headline["mfu"],
-                "chip": getattr(jax.devices()[0], "device_kind", "unknown"),
+                "chip": chip,
+                "elapsed_s": int(_elapsed()),
                 "extra": extra,
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    chip = getattr(jax.devices()[0], "device_kind", "unknown")
+
+    _debug("headline start")
+    headline = bench_headline()
+    _debug(f"headline done: {headline}")
+
+    # Cheapest-first (warm-cache cost); the two SDXL 1024^2 sections carry
+    # the largest cold-compile risk and go last. ``floor`` = minimum budget
+    # remaining to even start; the SIGALRM cap = min(cap, remaining).
+    sections = [
+        ("nf4_dequant_matmul", bench_nf4_matmul, 30, 90),
+        ("jit_s_64_fp32_train", bench_jit_s_fp32, 30, 90),
+        ("jit_b_latent_256_train", bench_jit_latent, 30, 90),
+        ("flash_attention_s4096", bench_flash_attention, 30, 120),
+        ("jit_b_256_sampler", bench_sampler, 40, 150),
+        ("sdxl_lora_1024_bf16", lambda: bench_sdxl_lora(False), 60, 240),
+        ("sdxl_qlora_1024_nf4", lambda: bench_sdxl_lora(True), 60, 240),
+    ]
+    extra: dict = {
+        name: {"skipped": "pending"} for name, _, _, _ in sections
+    }
+    _emit(headline, extra, chip)  # headline is safe on disk from here on
+
+    for name, fn, floor, cap in sections:
+        remaining = BUDGET_S - _elapsed()
+        if remaining < floor:
+            extra[name] = {"skipped": f"budget ({int(_elapsed())}s elapsed)"}
+            _emit(headline, extra, chip)
+            continue
+        _debug(f"section {name} start (cap {min(cap, remaining):.0f}s)")
+        try:
+            extra[name] = _run_capped(fn, min(cap, remaining))
+            _debug(f"section {name} done: {extra[name]}")
+        except _SectionTimeout:
+            extra[name] = {
+                "skipped": f"hard timeout (cap {cap}s, {int(_elapsed())}s elapsed)"
+            }
+        except Exception as e:  # noqa: BLE001
+            extra[name] = {
+                "error": f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+            }
+            if os.environ.get("GRAFT_BENCH_DEBUG"):
+                traceback.print_exc()
+        _emit(headline, extra, chip)
 
 
 if __name__ == "__main__":

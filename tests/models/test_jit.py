@@ -149,6 +149,28 @@ def test_generate_cfg_time_range_and_extras(tiny_model):
     assert np.isfinite(np.asarray(arr, dtype=np.float32)).all()
 
 
+def test_generate_cfg_time_range_excludes_all_steps(tiny_model):
+    """do_cfg=True but the range gates out every step: the scan fast path
+    must slice the CFG-doubled context back to the carried batch (regression:
+    mismatched batch dims crashed the trace)."""
+    arr = tiny_model.generate(
+        "c1", width=16, height=16, num_inference_steps=2, cfg_scale=3.0,
+        max_token_length=8, seed=1, cfg_time_range=(2.0, 3.0),
+        return_arrays=True,
+    )
+    assert arr.shape[0] == 1
+    assert np.isfinite(np.asarray(arr, dtype=np.float32)).all()
+    # and it must equal the plain uncond sampler (cfg disabled outright)
+    uncond = tiny_model.generate(
+        "c1", width=16, height=16, num_inference_steps=2, cfg_scale=1.0,
+        max_token_length=8, seed=1, return_arrays=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(arr, dtype=np.float32),
+        np.asarray(uncond, dtype=np.float32), atol=1e-5,
+    )
+
+
 def test_checkpoint_roundtrip(tiny_model, tmp_path):
     path = str(tmp_path / "model.safetensors")
     tiny_model.save_checkpoint(path)

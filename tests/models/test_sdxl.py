@@ -264,8 +264,7 @@ def test_text_encoder_dual_shapes():
     assert out.text_encoder_2.pooled_positive_embeddings.shape == (1, 24)
 
 
-@pytest.mark.slow
-def test_sdxl_pipeline_generate_tiny():
+def _tiny_sdxl_model():
     from vision_pt_tpu.models.sdxl.pipeline import SDXLModel
 
     cfg = SDXLConfig(
@@ -287,6 +286,12 @@ def test_sdxl_pipeline_generate_tiny():
         CLIPTextModel(cfg1, rngs=rngs), MockTokenizer(),
         CLIPTextModel(cfg2, with_projection=True, rngs=rngs), MockTokenizer(),
     )
+    return model
+
+
+@pytest.mark.slow
+def test_sdxl_pipeline_generate_tiny():
+    model = _tiny_sdxl_model()
     images = model.generate(
         "a cat", negative_prompt="bad", width=64, height=64,
         num_inference_steps=2, cfg_scale=3.0, seed=7,
@@ -294,6 +299,23 @@ def test_sdxl_pipeline_generate_tiny():
     )
     assert len(images) == 1
     assert images[0].size == (64, 64)
+
+
+@pytest.mark.slow
+def test_sdxl_sampler_scan_matches_stepwise_seed_stream():
+    """The scanned sampler and the step-wise fallback must draw the SAME
+    per-step ancestral noise for the same seed (keys are pre-split once)."""
+    model = _tiny_sdxl_model()
+    kw = dict(
+        prompt="a cat", negative_prompt="bad", width=64, height=64,
+        num_inference_steps=3, cfg_scale=3.0, seed=11,
+        execution_dtype=jnp.float32, return_latents=True,
+    )
+    scanned = model.generate(**kw)
+    stepwise = model.generate(**kw, cross_attention_kwargs={})
+    np.testing.assert_allclose(
+        np.asarray(scanned), np.asarray(stepwise), atol=1e-4, rtol=1e-4
+    )
 
 
 def test_unet_gradient_checkpointing_same_output_and_grads():

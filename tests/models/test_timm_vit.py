@@ -1,0 +1,243 @@
+"""timm-layout ViT tower: torch-math parity, AutoImageEncoder layout
+sniffing, and the ip_adapter.kyara workload over a timm checkpoint
+(reference ``src/models/auto.py:64-148`` timm branch)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+DIM, DEPTH, HEADS, PATCH, IMG = 32, 2, 2, 8, 32
+GRID = IMG // PATCH
+
+
+def _timm_state_dict(rng, layer_scale=False):
+    """A tiny random checkpoint in timm's torch key layout."""
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    sd = {
+        "cls_token": w(1, 1, DIM),
+        "pos_embed": w(1, GRID * GRID + 1, DIM),
+        "patch_embed.proj.weight": w(DIM, 3, PATCH, PATCH),
+        "patch_embed.proj.bias": w(DIM),
+        "norm.weight": 1.0 + w(DIM),
+        "norm.bias": w(DIM),
+    }
+    for i in range(DEPTH):
+        p = f"blocks.{i}."
+        sd |= {
+            p + "norm1.weight": 1.0 + w(DIM),
+            p + "norm1.bias": w(DIM),
+            p + "attn.qkv.weight": w(3 * DIM, DIM),
+            p + "attn.qkv.bias": w(3 * DIM),
+            p + "attn.proj.weight": w(DIM, DIM),
+            p + "attn.proj.bias": w(DIM),
+            p + "norm2.weight": 1.0 + w(DIM),
+            p + "norm2.bias": w(DIM),
+            p + "mlp.fc1.weight": w(4 * DIM, DIM),
+            p + "mlp.fc1.bias": w(4 * DIM),
+            p + "mlp.fc2.weight": w(DIM, 4 * DIM),
+            p + "mlp.fc2.bias": w(DIM),
+        }
+        if layer_scale:
+            sd |= {p + "ls1.gamma": 1.0 + w(DIM), p + "ls2.gamma": 1.0 + w(DIM)}
+    return sd
+
+
+@pytest.fixture(scope="module")
+def timm_ckpt(tmp_path_factory):
+    from safetensors.numpy import save_file
+
+    sd = _timm_state_dict(np.random.default_rng(0))
+    path = tmp_path_factory.mktemp("timm") / "vit_tiny_timm.safetensors"
+    save_file(sd, str(path))
+    return str(path), sd
+
+
+def _torch_vit_forward(sd, pixels_nhwc):
+    """The timm VisionTransformer forward, written out in torch (the parity
+    oracle; timm itself is not installed here — its key layout and math are
+    the contract)."""
+    import torch
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    x = torch.from_numpy(pixels_nhwc).permute(0, 3, 1, 2)
+    x = F.conv2d(x, t["patch_embed.proj.weight"], t["patch_embed.proj.bias"],
+                 stride=PATCH)
+    b, d, h, w = x.shape
+    x = x.flatten(2).transpose(1, 2)  # (B, N, D)
+    cls = t["cls_token"].expand(b, -1, -1)
+    x = torch.cat([cls, x], dim=1) + t["pos_embed"]
+    for i in range(DEPTH):
+        p = f"blocks.{i}."
+        h_ = F.layer_norm(x, (DIM,), t[p + "norm1.weight"],
+                          t[p + "norm1.bias"], eps=1e-6)
+        qkv = F.linear(h_, t[p + "attn.qkv.weight"], t[p + "attn.qkv.bias"])
+        qkv = qkv.reshape(b, -1, 3, HEADS, DIM // HEADS).permute(2, 0, 3, 1, 4)
+        a = F.scaled_dot_product_attention(qkv[0], qkv[1], qkv[2])
+        a = a.transpose(1, 2).reshape(b, -1, DIM)
+        x = x + F.linear(a, t[p + "attn.proj.weight"], t[p + "attn.proj.bias"])
+        h_ = F.layer_norm(x, (DIM,), t[p + "norm2.weight"],
+                          t[p + "norm2.bias"], eps=1e-6)
+        h_ = F.linear(h_, t[p + "mlp.fc1.weight"], t[p + "mlp.fc1.bias"])
+        h_ = F.gelu(h_)
+        h_ = F.linear(h_, t[p + "mlp.fc2.weight"], t[p + "mlp.fc2.bias"])
+        x = x + h_
+    x = F.layer_norm(x, (DIM,), t["norm.weight"], t["norm.bias"], eps=1e-6)
+    return x[:, 0].numpy()  # cls pooling, classifier removed
+
+
+def test_timm_vit_parity_with_torch(timm_ckpt):
+    from vision_pt_tpu.models.timm_vit import TimmViT
+    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+
+    path, sd = timm_ckpt
+    set_default_attention_dtype(None)  # fp32 attention for exact parity
+    vit = TimmViT.from_local(path, num_heads=HEADS)
+    assert vit.config.embed_dim == DIM
+    assert vit.config.depth == DEPTH
+    assert vit.config.patch_size == PATCH
+    assert vit.config.img_size == IMG
+
+    pixels = np.random.default_rng(1).standard_normal(
+        (2, IMG, IMG, 3)
+    ).astype(np.float32)
+    ours = np.asarray(vit(jnp.asarray(pixels)).pooler_output)
+    theirs = _torch_vit_forward(sd, pixels)
+    psnr = 10 * np.log10(
+        (theirs.max() - theirs.min()) ** 2
+        / max(np.mean((ours - theirs) ** 2), 1e-20)
+    )
+    assert psnr > 50, f"timm ViT parity too low: {psnr:.1f} dB"
+
+
+def test_timm_vit_layer_scale_loads():
+    from safetensors.numpy import save_file
+    import tempfile
+
+    from vision_pt_tpu.models.timm_vit import TimmViT
+
+    sd = _timm_state_dict(np.random.default_rng(2), layer_scale=True)
+    path = tempfile.mktemp(suffix=".safetensors")
+    save_file(sd, path)
+    vit = TimmViT.from_local(path, num_heads=HEADS)
+    assert vit.config.use_layer_scale
+    out = vit(jnp.zeros((1, IMG, IMG, 3)))
+    assert out.pooler_output.shape == (1, DIM)
+    np.testing.assert_allclose(
+        np.asarray(vit.blocks[0].ls1.value), sd["blocks.0.ls1.gamma"]
+    )
+
+
+def test_auto_image_encoder_sniffs_timm_layout(timm_ckpt):
+    from vision_pt_tpu.adapters.ip_adapter import ImageEncoderConfig
+    from vision_pt_tpu.models.auto import AutoImageEncoder
+
+    path, _ = timm_ckpt
+    enc = AutoImageEncoder(
+        ImageEncoderConfig(type="timm", weights_path=path, feature_dim=DIM)
+    )
+    pooled = enc(jnp.zeros((2, IMG, IMG, 3)))
+    assert pooled.shape == (2, DIM)
+
+    enc_h = AutoImageEncoder(
+        ImageEncoderConfig(type="timm", weights_path=path,
+                           feature_type="hidden_state",
+                           hidden_state_index=-1, feature_dim=DIM)
+    )
+    tokens = enc_h(jnp.zeros((2, IMG, IMG, 3)))
+    assert tokens.shape == (2, GRID * GRID, DIM)  # cls prefix dropped
+
+
+@pytest.mark.slow
+def test_kyara_workload_with_timm_tower(timm_ckpt):
+    """ip_adapter.kyara end-to-end over a local timm-layout tower
+    (VERDICT r2 Missing #2 done-condition)."""
+    from flax import nnx
+
+    from tests.models.test_sdxl import MockTokenizer
+    from tests.training.test_sdxl_workload import TINY_UNET, TINY_VAE
+    from vision_pt_tpu.config import OptimizerConfig, TrainConfig, TrainerConfig
+    from vision_pt_tpu.models.sdxl.text_encoder import (
+        CLIPTextConfig,
+        CLIPTextModel,
+        TextEncoder,
+    )
+    from vision_pt_tpu.workloads.sdxl_ip_adapter import (
+        SDXLIPAdapterKyaraTraining,
+    )
+
+    path, _ = timm_ckpt
+    config = TrainConfig(
+        model={
+            "checkpoint_path": "",
+            "dtype": "float32",
+            "denoiser": TINY_UNET,
+            "vae_config": TINY_VAE,
+            "max_token_length": 75,
+            "adapter": {
+                "variant": "original",
+                "dtype": "float32",
+                "image_size": IMG,
+                "image_encoder": {
+                    "type": "timm",
+                    "weights_path": path,
+                    "feature_dim": DIM,
+                },
+            },
+        },
+        dataset={},
+        optimizer=OptimizerConfig(name="adamw", args={"lr": 1e-3}),
+        saving=None,
+        seed=0,
+        num_train_epochs=1,
+        trainer=TrainerConfig(),
+    )
+    workload = SDXLIPAdapterKyaraTraining(config)
+    workload.setup_model()
+    assert workload.model_config.drop_image_rate == 0.0
+
+    rngs = nnx.Rngs(1)
+    cfg1 = CLIPTextConfig(vocab_size=1000, hidden_size=16,
+                          intermediate_size=32, num_hidden_layers=1,
+                          num_attention_heads=2)
+    cfg2 = CLIPTextConfig(vocab_size=1000, hidden_size=24,
+                          intermediate_size=48, num_hidden_layers=1,
+                          num_attention_heads=2, hidden_act="gelu",
+                          projection_dim=1280)
+    workload.model.text_encoder = TextEncoder(
+        CLIPTextModel(cfg1, rngs=rngs), MockTokenizer(),
+        CLIPTextModel(cfg2, with_projection=True, rngs=rngs), MockTokenizer(),
+    )
+    from vision_pt_tpu.workloads.sdxl_ip_adapter import IPAdapterTrainable
+
+    workload._full_trainable = IPAdapterTrainable(
+        workload.model.denoiser,
+        workload.model.image_proj,
+        workload.model.text_encoder.text_encoder_1,
+        workload.model.text_encoder.text_encoder_2,
+        workload.model.vae,
+    )
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        .clip(-1, 1),
+        "reference_image": rng.standard_normal((2, 64, 64, 3))
+        .astype(np.float32).clip(-1, 1),
+        "caption": ["a girl", "a boy"],
+        "original_size": np.asarray([[64.0, 64.0]] * 2),
+        "target_size": np.asarray([[64.0, 64.0]] * 2),
+        "crop_coords_top_left": np.asarray([[0.0, 0.0]] * 2),
+    }
+    key = jax.random.PRNGKey(0)
+    arrays = workload.prepare_batch(batch, key)
+    assert not bool(np.asarray(arrays["drop_image"]).any())  # kyara: no drop
+
+    loss, metrics = workload.compute_loss(workload._full_trainable, arrays, key)
+    assert np.isfinite(float(loss))

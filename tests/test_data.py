@@ -44,6 +44,31 @@ def test_concat_bucket_dataset_shuffle_and_host_shard():
     assert len(ds0) + len(ds1) == 3
 
 
+def test_iter_from_index_level_skip():
+    """Mid-epoch resume: iter_from(k) yields exactly the tail of the epoch
+    stream and never loads (decodes) the skipped batches."""
+    loaded = []
+
+    class CountingBucket(Bucket):
+        def load_item(self, idx):
+            loaded.append(idx)
+            return super().load_item(idx)
+
+    def make():
+        b1 = CountingBucket([{"x": i} for i in range(6)], batch_size=2)
+        b2 = CountingBucket([{"x": i + 10} for i in range(4)], batch_size=2)
+        ds = ConcatBucketDataset([b1, b2], shuffle=True, seed=0)
+        ds.set_epoch(3)
+        return ds
+
+    full = [b["x"] for b in make()]
+    loaded.clear()
+    tail = [b["x"] for b in make().iter_from(2)]
+    assert tail == full[2:]
+    # only the tail's items were ever loaded: 3 batches x 2 items
+    assert len(loaded) == 2 * len(tail)
+
+
 def test_caption_processors():
     rng = np.random.default_rng(0)
     assert CaptionPrefix(prefix="a, ")("b") == "a, b"

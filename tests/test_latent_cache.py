@@ -71,6 +71,39 @@ def test_cache_latents_writes_manifest_and_shapes(image_folder, tmp_path):
             assert (z["std"] > 0).all()
 
 
+def test_cache_latents_bfloat16_roundtrip(image_folder, tmp_path):
+    """--dtype bfloat16 stores REAL bf16 (as uint16 bits + row tag), and the
+    dataset loader views it back (regression: bfloat16 silently wrote fp16)."""
+    import ml_dtypes
+
+    dataset = TextToImageDatasetConfig(
+        folder=str(image_folder),
+        batch_size=2,
+        bucket_base_size=512,
+        step=64,
+        min_size=256,
+        shuffle=False,
+    ).get_dataset()
+    vae = VAE(**TINY_VAE, rngs=nnx.Rngs(0))
+    cache_dir = tmp_path / "latents_bf16"
+    manifest = cache_latents(dataset, vae, str(cache_dir), progress=False,
+                             dtype=ml_dtypes.bfloat16)
+    row = json.loads(open(manifest).readline())
+    assert row["dtype"] == "bfloat16"
+    with np.load(cache_dir / row["file"]) as z:
+        assert z["mean"].dtype == np.uint16  # raw bf16 bits
+        as_bf16 = z["mean"].view(ml_dtypes.bfloat16).astype(np.float32)
+        assert np.isfinite(as_bf16).all()
+
+    ds = CachedLatentDatasetConfig(
+        cache_dir=str(cache_dir), batch_size=2, shuffle=False
+    ).get_dataset()
+    batch = next(iter(ds))
+    assert batch["latents"].dtype == np.float32
+    assert np.isfinite(batch["latents"]).all()
+    assert np.abs(batch["latents"]).max() > 0
+
+
 def test_cached_latent_dataset_batches_and_determinism(image_folder, tmp_path):
     cache_dir, _, _ = _build_cache(image_folder, tmp_path)
     cfg = CachedLatentDatasetConfig(

@@ -46,6 +46,34 @@ def tiny_clip_dir(tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_reward_params_structurally_frozen(tiny_clip_dir):
+    """Judge weights are non-Param variables: a full-FT grad sweep over
+    nnx.Param selects nothing in the reward model, while gradients still
+    flow THROUGH it to the images (what DRaFT+ differentiates)."""
+    from flax import nnx
+
+    from vision_pt_tpu.reward.pickscore import PickScoreModel
+    from vision_pt_tpu.reward.utils import FrozenRewardParam
+
+    path, _ = tiny_clip_dir
+    model = PickScoreModel.from_local(path)
+    assert not jax.tree.leaves(nnx.state(model, nnx.Param))
+    assert jax.tree.leaves(nnx.state(model, FrozenRewardParam))
+
+    images = jnp.zeros((2, 32, 32, 3))
+    ids = jnp.zeros((2, 8), dtype=jnp.int32)
+
+    def loss(m, im):
+        return jnp.sum(m.score(im, ids))
+
+    grads = nnx.grad(loss, argnums=nnx.DiffState(0, nnx.Param))(model, images)
+    assert not jax.tree.leaves(grads), "reward params received gradients"
+
+    img_grads = jax.grad(lambda im: loss(model, im))(images)
+    assert float(jnp.abs(img_grads).sum()) > 0
+
+
+@pytest.mark.slow
 def test_pickscore_from_local_matches_transformers(tiny_clip_dir):
     """Tower + projection + logit-scale parity against HF CLIPModel on the
     same weights (the model PickScore_v1 is an instance of)."""

@@ -23,7 +23,7 @@ TINY = dict(
 )
 
 
-def _make_trainer(tmp_path, resume=True):
+def _make_trainer(tmp_path, resume=True, epochs=1, per_steps=2, num_items=8):
     label2id_path = tmp_path / "label2id.json"
     label2id_path.write_text(json.dumps({f"c{i}": i for i in range(4)}))
     config = TrainConfig(
@@ -38,18 +38,19 @@ def _make_trainer(tmp_path, resume=True):
         optimizer=OptimizerConfig(name="adamw", args={"lr": 1e-3}),
         saving=None,
         seed=0,
-        num_train_epochs=1,
+        num_train_epochs=epochs,
         trainer=TrainerConfig(
             use_ema=True,
             checkpointing=CheckpointingConfig(
-                save_dir=str(tmp_path / "ckpt"), per_steps=2, resume=resume
+                save_dir=str(tmp_path / "ckpt"), per_steps=per_steps,
+                resume=resume,
             ),
         ),
     )
     trainer = Trainer(config)
     trainer.register_train_dataset_class(SyntheticClassImageDatasetConfig)
-    config.dataset = {"num_classes": 4, "num_items": 8, "image_size": 16,
-                      "batch_size": 4}
+    config.dataset = {"num_classes": 4, "num_items": num_items,
+                      "image_size": 16, "batch_size": 4}
     trainer.register_model_class(JiTForClassToImageTraining)
     trainer.before_train()
     return trainer
@@ -68,6 +69,45 @@ def _step(trainer):
             trainer.ema_state, trainer.model.trainable()
         )
     return float(loss)
+
+
+def _record_batch_captions(trainer, into: list):
+    orig = trainer.model.prepare_batch
+
+    def recording(batch, key):
+        into.append(tuple(batch["caption"]))
+        return orig(batch, key)
+
+    trainer.model.prepare_batch = recording
+
+
+@pytest.mark.slow
+def test_resume_at_epoch_boundary_matches_uninterrupted(tmp_path):
+    """A checkpoint saved exactly at an epoch boundary (current_epoch=N,
+    resumed start_epoch=N+1) must NOT replay epoch N's shuffle order:
+    training_loop pins set_epoch(epoch) explicitly each epoch."""
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    # uninterrupted 2-epoch run: record the data order (4 batches/epoch)
+    t1 = _make_trainer(tmp_path / "a", epochs=2, per_steps=100, num_items=16)
+    seen1: list = []
+    _record_batch_captions(t1, seen1)
+    t1.training_loop()
+    assert len(seen1) == 8
+    epoch1_order = seen1[4:]
+
+    # interrupted run: checkpoint fires at global_step 4 == end of epoch 0
+    t2 = _make_trainer(tmp_path / "b", epochs=1, per_steps=4, num_items=16)
+    t2.training_loop()
+    assert t2.checkpointer.latest_step() == 4
+
+    # resume into epoch 1 and record what it trains on
+    t3 = _make_trainer(tmp_path / "b", epochs=2, per_steps=100, num_items=16)
+    assert t3.global_step == 4
+    seen3: list = []
+    _record_batch_captions(t3, seen3)
+    t3.training_loop()
+    assert seen3 == epoch1_order
 
 
 @pytest.mark.slow

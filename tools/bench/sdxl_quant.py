@@ -1,10 +1,14 @@
 """SDXL quantization x resolution bench (rebuild of reference
 ``tools/bench/sdxl_quant.py``): per-cell image + wall time + device memory.
 
-TPU changes vs the reference: CUDA allocator snapshots are replaced by live
-HBM stats from ``device.memory_stats()`` (libtpu) with a
-``jax.profiler.save_device_memory_profile`` fallback; "offload" maps to the
-layerwise pinned-host strategy rather than .to('cpu') ping-pong."""
+TPU changes vs the reference: CUDA allocator snapshots are replaced by
+``device.memory_stats()`` peak bytes where libtpu exposes them. On the
+remote-tunneled chip used here memory_stats returns nothing (and the runtime
+memory profiler segfaults over the tunnel), so the recorded
+``static_denoiser_step_hbm`` is XLA's STATIC memory analysis of the compiled
+CFG-doubled denoiser forward only — a per-submodule bound, NOT the measured
+pipeline peak. "offload" maps to the layerwise pinned-host strategy rather
+than .to('cpu') ping-pong."""
 
 import json
 import sys

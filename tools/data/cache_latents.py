@@ -78,7 +78,12 @@ def main(folder, cache_dir, checkpoint, vae_config, bucket_base_size, step,
         load_flat_state(vae, vae_sd, strict=True)
         print(f"[cache_latents] VAE weights from {checkpoint}")
 
-    np_dtype = {"float16": np.float16, "bfloat16": np.float16}[dtype]
+    if dtype == "bfloat16":
+        import ml_dtypes
+
+        np_dtype = ml_dtypes.bfloat16
+    else:
+        np_dtype = np.float16
     manifest = cache_latents(dataset, vae, cache_dir, dtype=np_dtype)
     print(f"[cache_latents] manifest: {manifest}")
 

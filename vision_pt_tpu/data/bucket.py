@@ -160,12 +160,18 @@ class ConcatBucketDataset:
             ds.bucket.epoch = epoch
 
     def __iter__(self) -> Iterator[dict[str, Any]]:
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int) -> Iterator[dict[str, Any]]:
+        """This epoch's batch stream starting at ``start_batch`` (mid-epoch
+        resume: skipping happens at the INDEX level — skipped batches are
+        never loaded or decoded, O(1) host work however deep the resume)."""
         for ds in self.datasets:
             ds.bucket.epoch = self.epoch
         order = list(self._index)
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(order)
         # per-host sharding: each host takes a strided slice of batches
-        for di, bi in order[self.host_index :: self.host_count]:
+        for di, bi in order[self.host_index :: self.host_count][start_batch:]:
             yield self.datasets[di][bi]
         self.epoch += 1

@@ -10,7 +10,8 @@ then streams latents from disk and the step starts at the denoiser.
 Cache layout under ``cache_dir``:
 - ``manifest.jsonl``: one row per item — latent file, latent shape, caption,
   SDXL size conditioning, the VAE scaling factor used.
-- ``<sha1>.npz``: ``mean``/``std`` of the latent distribution in fp16.
+- ``<sha1>.npz``: ``mean``/``std`` of the latent distribution (fp16 by
+  default; bfloat16 is stored as raw uint16 bits + a ``dtype`` row tag).
   Storing the distribution (not one draw) keeps the reference's per-step
   latent sampling: training draws ``mean + std * eps`` with the bucket's
   deterministic per-(seed, epoch, idx) RNG, so latent noise still varies
@@ -81,6 +82,13 @@ def cache_latents(
             mean, std = encode(vae, jnp.asarray(images, dtype=jnp.float32))
             mean = np.asarray(mean, dtype=dtype)
             std = np.asarray(std, dtype=dtype)
+            # npz cannot round-trip the ml_dtypes bfloat16 extension dtype:
+            # store the raw bits as uint16 and tag the row so the loader
+            # views them back
+            stored_dtype = str(mean.dtype)
+            if stored_dtype == "bfloat16":
+                mean = mean.view(np.uint16)
+                std = std.view(np.uint16)
             bsz = mean.shape[0]
             for i in range(bsz):
                 row = {
@@ -95,6 +103,7 @@ def cache_latents(
                         batch["crop_coords_top_left"][i]
                     ).tolist(),
                     "scaling_factor": float(vae.scaling_factor),
+                    "dtype": stored_dtype,
                 }
                 key = hashlib.sha1(
                     json.dumps(row, sort_keys=True).encode()
@@ -129,8 +138,14 @@ class CachedLatentBucket(Bucket):
         row = self.get_item(idx)
         rng = self.item_rng(idx, self.seed)
         with np.load(self.cache_dir / row["file"]) as z:
-            mean = z["mean"].astype(np.float32)
-            std = z["std"].astype(np.float32)
+            mean, std = z["mean"], z["std"]
+            if row.get("dtype") == "bfloat16":  # stored as raw uint16 bits
+                import ml_dtypes
+
+                mean = mean.view(ml_dtypes.bfloat16)
+                std = std.view(ml_dtypes.bfloat16)
+            mean = mean.astype(np.float32)
+            std = std.astype(np.float32)
         if self.sample:
             latent = mean + std * rng.standard_normal(mean.shape).astype(
                 np.float32

@@ -24,6 +24,27 @@ class AutoImageEncoder:
     def set_encode_fn(self, fn: Callable):
         self._encode_fn = fn
 
+    @staticmethod
+    def _sniff_layout(weights_path: str) -> str:
+        """'timm' (blocks.N.* ViT keys) vs 'clip' (vision_model.* keys),
+        decided from the checkpoint itself — the reference's
+        transformers-vs-timm config split (``auto.py:36-95``) collapses to
+        a key-layout sniff for local weights."""
+        from pathlib import Path
+
+        from safetensors import safe_open
+
+        p = Path(weights_path)
+        files = [p] if p.is_file() else sorted(p.glob("*.safetensors"))
+        for f in files:
+            with safe_open(str(f), framework="np") as sf:
+                for k in sf.keys():
+                    if k.startswith("blocks."):
+                        return "timm"
+                    if "vision_model." in k:
+                        return "clip"
+        return "clip"
+
     def _load_model(self):
         if self._encode_fn is not None:
             return
@@ -31,31 +52,48 @@ class AutoImageEncoder:
         if weights_path:
             import os
 
-            if not os.path.isdir(weights_path):
+            if not (os.path.isdir(weights_path) or os.path.isfile(weights_path)):
                 raise FileNotFoundError(
-                    f"weights_path {weights_path!r} is not a directory "
-                    "(expected HF layout: config.json + *.safetensors)"
+                    f"weights_path {weights_path!r} not found (expected a "
+                    "safetensors file or an HF-layout directory)"
                 )
-            from .clip_vision import CLIPVisionModel
-
-            model = CLIPVisionModel.from_local(weights_path)
             feature_type = getattr(self.config, "feature_type",
                                    "pooler_output")
             index = getattr(self.config, "hidden_state_index", -1)
+            layout = self._sniff_layout(weights_path)
 
-            def encode(images):
-                out = model(images)
-                if feature_type == "hidden_state":
-                    return out.hidden_states[index]
-                return out.pooler_output
+            if layout == "timm":
+                from .timm_vit import TimmViT
+
+                vit = TimmViT.from_local(weights_path)
+
+                def encode(images):
+                    out = vit(images)
+                    if feature_type == "hidden_state":
+                        # reference timm path returns the block's token grid
+                        # (auto.py:126-136); drop the cls prefix token
+                        h = out.hidden_states[index]
+                        return h[:, 1:] if vit.cls_token is not None else h
+                    return out.pooler_output
+
+            else:
+                from .clip_vision import CLIPVisionModel
+
+                model = CLIPVisionModel.from_local(weights_path)
+
+                def encode(images):
+                    out = model(images)
+                    if feature_type == "hidden_state":
+                        return out.hidden_states[index]
+                    return out.pooler_output
 
             self._encode_fn = encode
             return
         raise RuntimeError(
             "AutoImageEncoder needs pretrained vision weights "
             f"({getattr(self.config, 'model_name', '?')}); this environment "
-            "has no network egress. Provide weights_path (local HF dir, CLIP "
-            "vision towers supported) or inject encode_fn."
+            "has no network egress. Provide weights_path (local safetensors: "
+            "CLIP vision towers or timm-layout ViTs) or inject encode_fn."
         )
 
     def __call__(self, images) -> jax.Array:

@@ -383,6 +383,15 @@ class JiTModel:
             # homogeneous CFG across steps (the default (0,1) range): run
             # the whole Euler loop as ONE scanned program — no per-step
             # dispatch / nnx traversal
+            if do_cfg and not step_uses_cfg[0]:
+                # CFG requested but cfg_time_range excludes every step:
+                # context/size inputs were built batch-doubled — slice back
+                # to the un-doubled batch the carried image has
+                prompt_embeddings = prompt_embeddings[:batch_size]
+                attention_mask = attention_mask[:batch_size]
+                original_size = original_size[:batch_size]
+                target_size = target_size[:batch_size]
+                crop_coords = crop_coords[:batch_size]
             noisy_image = self._scan_sample(
                 noisy_image,
                 jnp.asarray(timesteps[:-1]),

@@ -298,12 +298,13 @@ class SDXLModel:
             jnp.asarray(crop_coords_top_left, dtype=jnp.float32), (n, 2))
 
         step_key = jax.random.key(seed if seed is not None else 0)
+        # per-step ancestral-noise keys, derived ONCE so the scanned and
+        # step-wise paths produce identical images for the same seed
+        keys = jax.random.split(step_key, len(timesteps))
         if cross_attention_kwargs is None:
             # whole sampler as ONE scanned program (no per-step dispatch /
             # nnx traversal); adapters passing cross_attention_kwargs use
             # the step-wise fallback below
-            num = len(timesteps)
-            keys = jax.random.split(step_key, num)
             latents = self._scan_sample(
                 latents,
                 jnp.asarray(timesteps),
@@ -329,9 +330,8 @@ class SDXLModel:
                 if do_cfg:
                     pos_pred, neg_pred = jnp.split(noise_pred, 2, axis=0)
                     noise_pred = neg_pred + cfg_scale * (pos_pred - neg_pred)
-                step_key, sub = jax.random.split(step_key)
                 latents = self.scheduler.ancestral_step(
-                    sub, latents, noise_pred, sigma, next_sigma
+                    keys[i], latents, noise_pred, sigma, next_sigma
                 )
 
         if return_latents:

@@ -24,7 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-from .utils import RewardModelConfig, RewardModelMixin
+from .utils import (
+    FrozenRewardParam,
+    RewardModelConfig,
+    RewardModelMixin,
+    freeze_reward_params,
+)
 
 # CLIP image preprocessing constants (openai/CLIP processor)
 CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
@@ -80,7 +85,14 @@ class PickScoreModel(nnx.Module):
     def __init__(self, text_encoder, vision_encoder, logit_scale: float = 4.6052):
         self.text_encoder = text_encoder
         self.vision_encoder = vision_encoder
-        self.logit_scale = nnx.Param(jnp.asarray(logit_scale, dtype=jnp.float32))
+        self.logit_scale = FrozenRewardParam(
+            jnp.asarray(logit_scale, dtype=jnp.float32)
+        )
+        # the judge is structurally untrainable: a full-FT DRaFT+ run whose
+        # trainable tree (or grad filter) sweeps nnx.Param can never touch
+        # the reward towers
+        freeze_reward_params(self.text_encoder)
+        freeze_reward_params(self.vision_encoder)
 
     def embed_images(self, images: jax.Array,
                      input_range=(-1.0, 1.0)) -> jax.Array:

@@ -14,7 +14,31 @@ from abc import ABC, abstractmethod
 from typing import Callable, Literal
 
 import jax
+from flax import nnx
 from pydantic import BaseModel
+
+
+class FrozenRewardParam(nnx.Variable):
+    """Reward-model weights re-tagged as a NON-Param variable type: judge
+    weights are structurally untrainable — no optimizer ``wrt`` filter or
+    grad ``DiffState`` selecting ``nnx.Param`` (or any subclass) can ever
+    pick them up, matching the reference's frozen/no_grad PickScore
+    (``src/modules/reward/pickscore.py:30-81``). Gradients still FLOW
+    THROUGH the frozen weights to the images, which DRaFT+ needs."""
+
+
+def freeze_reward_params(module: nnx.Module) -> int:
+    """Re-tag every ``nnx.Param`` in the tree as ``FrozenRewardParam``.
+    Returns the number of variables frozen."""
+    from ..peft.functional import iter_named_modules
+
+    n = 0
+    for _, mod in iter_named_modules(module):
+        for name, attr in list(vars(mod).items()):
+            if isinstance(attr, nnx.Param):
+                setattr(mod, name, FrozenRewardParam(attr.value))
+                n += 1
+    return n
 
 
 class RewardModelMixin(ABC):

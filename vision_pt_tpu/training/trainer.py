@@ -270,8 +270,20 @@ class Trainer:
         self._use_ema = use_ema
 
         # compatibility shims for external callers (tests, dryrun): same
-        # result, module state re-synced afterwards
+        # result, module state re-synced afterwards. The step always trains
+        # the trainer's OWN threaded state — assert the caller passed
+        # exactly that, instead of silently ignoring foreign modules.
         def train_step_compat(trainable, optimizer, batch, key):
+            if trainable is not self.model.trainable():
+                raise ValueError(
+                    "train_step_compat trains the trainer's own module; got "
+                    "a different `trainable` object"
+                )
+            if optimizer is not self.optimizer:
+                raise ValueError(
+                    "train_step_compat uses the trainer's own optimizer; got "
+                    "a different `optimizer` object"
+                )
             loss, metrics = self.train_step(batch, key)
             self.sync_module_state()
             return loss, metrics
@@ -443,16 +455,31 @@ class Trainer:
         pbar = tqdm(total=total, desc="train", initial=skip_steps)
         for epoch in range(start_epoch, cfg.num_train_epochs):
             self.current_epoch = epoch
+            # pin shuffle order + per-item RNG streams to the epoch number
+            # explicitly (never trust the dataset's auto-increment: a
+            # checkpoint saved exactly at an epoch boundary would otherwise
+            # replay the previous epoch's order on resume)
+            if hasattr(self.train_dataset, "set_epoch"):
+                self.train_dataset.set_epoch(epoch)
             self.model.before_train_epoch()
             from ..data.bucket import prefetch_iterator
 
-            epoch_iter = iter(self.train_dataset)
-            if skip_steps:
-                import itertools
-
-                epoch_iter = itertools.islice(epoch_iter, skip_steps, None)
+            if skip_steps and hasattr(self.train_dataset, "iter_from"):
+                # index-level skip: the skipped batches are never decoded
+                epoch_iter = self.train_dataset.iter_from(skip_steps)
                 print(f"[resume] skipped {skip_steps} batches into epoch {epoch}")
                 skip_steps = 0
+            else:
+                epoch_iter = iter(self.train_dataset)
+                if skip_steps:
+                    import itertools
+
+                    epoch_iter = itertools.islice(epoch_iter, skip_steps, None)
+                    print(
+                        f"[resume] skipped {skip_steps} batches into epoch {epoch}"
+                        " (decode-level fallback)"
+                    )
+                    skip_steps = 0
 
             for batch in prefetch_iterator(epoch_iter):
                 self.model.before_train_step()
