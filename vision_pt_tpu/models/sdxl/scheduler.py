@@ -63,9 +63,12 @@ class Scheduler:
         noise_pred: jax.Array,
         sigma,
         next_sigma,
+        noise: jax.Array | None = None,
     ) -> jax.Array:
         """Stochastic up/down split Euler-ancestral step
-        (reference ``scheduler.py:59-77``)."""
+        (reference ``scheduler.py:59-77``). ``noise`` overrides the PRNG
+        draw — used by parity tests and reproducible re-runs where the noise
+        stream comes from file."""
         sigma = jnp.asarray(sigma, dtype=jnp.float32)
         next_sigma = jnp.asarray(next_sigma, dtype=jnp.float32)
         sigma_up = jnp.sqrt(
@@ -73,7 +76,8 @@ class Scheduler:
         )
         sigma_down = jnp.sqrt(next_sigma**2 - sigma_up**2)
         dt = (sigma_down - sigma).astype(latent.dtype)
-        noise = jax.random.normal(key, latent.shape, dtype=latent.dtype)
+        if noise is None:
+            noise = jax.random.normal(key, latent.shape, dtype=latent.dtype)
         return latent + noise_pred * dt + noise * sigma_up.astype(latent.dtype)
 
     def step(self, latent, noise_pred, sigma, next_sigma) -> jax.Array:
