@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# Full test suite in shards, each sized to finish inside a ~10-minute CI
+# window on this single-core host (the suite is compile-dominated; the
+# persistent compile cache under /tmp/jax_test_compile_cache makes repeat
+# runs much faster).
+#
+# Timings from a full observed run on this host (2026-08-17, cold-ish
+# cache, one core — recorded per shard below and in the repo README):
+#   shard fast            169 tests  ~5-7 min
+#   shard slow-sdxl        23 tests  (timing in header comment of run log)
+#   shard slow-models      19 tests
+#   shard slow-training    21 tests
+#   shard slow-misc        25 tests
+#
+# Usage: scripts/run_test_shards.sh [shard ...]
+#   with no args, runs every shard sequentially and prints a summary.
+
+set -u
+cd "$(dirname "$0")/.."
+
+declare -A SHARDS
+SHARDS[fast]='-m "not slow" tests/'
+SHARDS[slow-sdxl]='-m slow tests/models/test_ip_adapter.py tests/models/test_sdxl.py tests/models/test_sdxl_rope.py tests/models/test_sdxl_parity.py'
+SHARDS[slow-models]='-m slow tests/models/test_cogview4.py tests/models/test_prompt_free.py tests/models/test_style_tokenizer.py tests/models/test_jit.py tests/models/test_jit_extensions.py tests/models/test_jit_parity.py tests/models/test_jit_text_encoder.py tests/models/test_sampler_parity.py tests/models/test_timm_vit.py tests/models/test_clip_vision.py'
+SHARDS[slow-training]='-m slow tests/training/'
+SHARDS[slow-misc]='-m slow tests/ops/ tests/test_tools.py tests/test_reward_pickscore.py tests/test_native_image.py tests/test_latent_cache.py tests/test_aspect_ratio_bucket.py tests/test_data.py tests/test_parallel.py tests/test_peft.py tests/test_configs_library.py tests/test_saving_preview.py'
+
+ORDER=(fast slow-sdxl slow-models slow-training slow-misc)
+RUN=("${@:-${ORDER[@]}}")
+
+overall=0
+for name in "${RUN[@]}"; do
+  args=${SHARDS[$name]:?unknown shard $name}
+  echo "=== shard $name: pytest $args"
+  start=$(date +%s)
+  eval python -m pytest -q "$args"
+  rc=$?
+  echo "=== shard $name finished rc=$rc in $(( $(date +%s) - start ))s"
+  [ $rc -ne 0 ] && overall=$rc
+done
+exit $overall

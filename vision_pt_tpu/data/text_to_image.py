@@ -203,38 +203,52 @@ class TextToImageDatasetConfig(AspectRatioBucketConfig):
         return p is not None and Path(p).exists() and Path(p).stat().st_size > 0
 
     def _load_imagesize_cache(self) -> Iterator[ImageCaptionPair]:
-        with open(self.imagesize_cache_path) as f:
-            for line in f:
-                row = json.loads(line)
-                yield ImageCaptionPair(
-                    image=Path(row["image"]),
-                    width=row["width"],
-                    height=row["height"],
-                    caption=Path(row["caption"]) if row.get("caption") else None,
-                    metadata=Path(row["metadata"]) if row.get("metadata") else None,
-                )
+        path = Path(self.imagesize_cache_path)
+        if path.suffix == ".parquet":
+            # columnar cache for large folders (reference supports a polars
+            # .parquet cache, ``text_to_image.py:291-371``; pyarrow here)
+            import pyarrow.parquet as pq
+
+            rows = pq.read_table(str(path)).to_pylist()
+        else:
+            with open(path) as f:
+                rows = [json.loads(line) for line in f]
+        for row in rows:
+            yield ImageCaptionPair(
+                image=Path(row["image"]),
+                width=row["width"],
+                height=row["height"],
+                caption=Path(row["caption"]) if row.get("caption") else None,
+                metadata=Path(row["metadata"]) if row.get("metadata") else None,
+            )
 
     def _save_imagesize_cache(self, pairs: list[ImageCaptionPair]) -> None:
         if self.imagesize_cache_path is None:
             return
         path = Path(self.imagesize_cache_path)
-        assert path.suffix == ".jsonl", "imagesize cache must be .jsonl"
+        assert path.suffix in (".jsonl", ".parquet"), (
+            "imagesize cache must be .jsonl or .parquet"
+        )
         path.parent.mkdir(parents=True, exist_ok=True)
+        rows = [
+            {
+                "image": str(p.image),
+                "width": p.width,
+                "height": p.height,
+                "caption": str(p.caption) if p.caption else None,
+                "metadata": str(p.metadata) if p.metadata else None,
+            }
+            for p in pairs
+        ]
+        if path.suffix == ".parquet":
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(pa.Table.from_pylist(rows), str(path))
+            return
         with open(path, "w") as f:
-            for p in pairs:
-                f.write(
-                    json.dumps(
-                        {
-                            "image": str(p.image),
-                            "width": p.width,
-                            "height": p.height,
-                            "caption": str(p.caption) if p.caption else None,
-                            "metadata": str(p.metadata) if p.metadata else None,
-                        },
-                        ensure_ascii=False,
-                    )
-                    + "\n"
-                )
+            for row in rows:
+                f.write(json.dumps(row, ensure_ascii=False) + "\n")
 
     # -------------------------------------------------- folder walk
 
