@@ -304,17 +304,24 @@ def test_sdxl_pipeline_generate_tiny():
 @pytest.mark.slow
 def test_sdxl_sampler_scan_matches_stepwise_seed_stream():
     """The scanned sampler and the step-wise fallback must draw the SAME
-    per-step ancestral noise for the same seed (keys are pre-split once)."""
+    per-step ancestral noise for the same seed (keys are pre-split once).
+    Two steps: the first step's sigma_up > 0 exercises the shared noise
+    draw. Tolerance note: identical math still differs by fp-reordering
+    noise (ONE scanned program vs per-step executables) amplified through
+    the chaotic random-init UNet — measured ~3e-3 at 2 steps on CPU against
+    a latent scale of ~55. A diverged noise stream (the regression this
+    guards) shows up as O(sigma_1 * |n_a - n_b|) ~ 20+, so atol=0.5
+    separates the two regimes by 2+ orders of magnitude either way."""
     model = _tiny_sdxl_model()
     kw = dict(
         prompt="a cat", negative_prompt="bad", width=64, height=64,
-        num_inference_steps=3, cfg_scale=3.0, seed=11,
+        num_inference_steps=2, cfg_scale=3.0, seed=11,
         execution_dtype=jnp.float32, return_latents=True,
     )
     scanned = model.generate(**kw)
     stepwise = model.generate(**kw, cross_attention_kwargs={})
     np.testing.assert_allclose(
-        np.asarray(scanned), np.asarray(stepwise), atol=1e-4, rtol=1e-4
+        np.asarray(scanned), np.asarray(stepwise), atol=0.5
     )
 
 

@@ -346,6 +346,7 @@ class JiTModel:
         do_cfg_renorm: bool = False,
         do_dynamic_thresholding: bool = False,
         cfg_time_range: tuple[float, float] = (0.0, 1.0),
+        initial_noise: jax.Array | None = None,  # pre-made t=0 noise (NHWC)
         return_arrays: bool = False,
     ) -> list[Image.Image] | jax.Array:
         """Euler rectified-flow sampling (reference ``pipeline.py:378-488``)."""
@@ -354,9 +355,12 @@ class JiTModel:
         prompts = self.normalize_prompts(prompt)
         batch_size = len(prompts)
 
-        noisy_image = self.prepare_noisy_image(
-            batch_size, height, width, dtype=execution_dtype, seed=seed
-        )
+        if initial_noise is not None:
+            noisy_image = initial_noise.astype(execution_dtype)
+        else:
+            noisy_image = self.prepare_noisy_image(
+                batch_size, height, width, dtype=execution_dtype, seed=seed
+            )
 
         negative_prompts = self.normalize_prompts(
             negative_prompt if negative_prompt is not None else [""]

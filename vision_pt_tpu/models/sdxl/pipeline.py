@@ -259,6 +259,7 @@ class SDXLModel:
         seed: int | None = None,
         execution_dtype=jnp.bfloat16,
         do_offloading: bool = False,  # accepted for API compat; HBM fits SDXL
+        latents: jax.Array | None = None,  # pre-made init latents (NHWC)
         return_latents: bool = False,
         cross_attention_kwargs: dict | None = None,
         extra_context_tokens: jax.Array | None = None,
@@ -279,7 +280,7 @@ class SDXLModel:
         latents = self.prepare_latents(
             batch_size, height, width, execution_dtype,
             max_noise_sigma=self.scheduler.get_max_noise_sigma(sigmas),
-            seed=seed,
+            seed=seed, latents=latents,
         )
         ehs, pooled = self.prepare_encoder_hidden_states(encoder_output, do_cfg)
         ehs = ehs.astype(execution_dtype)

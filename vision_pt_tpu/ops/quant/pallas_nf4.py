@@ -52,11 +52,23 @@ def repack_bnb(deint: np.ndarray) -> np.ndarray:
 
 
 def _lut16(q: jax.Array, code: np.ndarray) -> jax.Array:
-    """16-entry lookup as a select tree (VPU-friendly, no gather)."""
-    out = jnp.full(q.shape, code[0], dtype=jnp.float32)
-    for i in range(1, 16):
-        out = jnp.where(q == i, code[i], out)
-    return out
+    """16-entry lookup as a bit-recursive select tree (VPU-friendly, no
+    gather). Selecting on the code's BITS needs 4 mask extractions + 15
+    selects (~19 VPU ops/weight) vs the naive equality chain's 15 compares
+    + 15 selects (~30) — the kernel is VPU-dequant-bound, so this is a
+    direct throughput win."""
+    bits = [(q & (1 << b)) != 0 for b in range(4)]
+    # leaves -> root: start with 8 selects between constant pairs on bit 0
+    level = [
+        jnp.where(bits[0], code[2 * i + 1], code[2 * i]).astype(jnp.float32)
+        for i in range(8)
+    ]
+    for b in range(1, 4):
+        level = [
+            jnp.where(bits[b], level[2 * i + 1], level[2 * i])
+            for i in range(len(level) // 2)
+        ]
+    return level[0]
 
 
 def _dequant_matmul_kernel(
