@@ -10,7 +10,9 @@ slices work):
 - codes are stored **deinterleaved** on the host: byte (o, c) holds the code
   of original column c in its high nibble and column c + in/2 in its low
   nibble, so the kernel only ever takes static 64-column slices;
-- dequant uses a 16-way select tree (no gathers on the VPU);
+- dequant uses a 16-way select tree (no gathers on the VPU); the tree must
+  select in f32 — running it in bf16 trips a Mosaic "invalid relayout" on
+  the i1 masks ((8,128) -> (16,128) native tiling, probed on v5e);
 - blockwise absmax scaling happens on the (bm, bo) partial products after
   each 64-column contraction — mathematically identical to scaling W, but it
   needs no lane-dim expansion of the scales.
