@@ -32,7 +32,12 @@ import traceback
 # assumed eager-PyTorch MFU / measured 1.65e11 train-FLOPs per image
 # (1.056e13 FLOPs/step at batch 64, XLA cost analysis) ~= 600 img/s.
 A100_REFERENCE_IMAGES_PER_SEC = 600.0
-BUDGET_S = float(os.environ.get("GRAFT_BENCH_BUDGET", 420))
+# The emit protocol (complete JSON line after the headline and after every
+# section) makes an external kill harmless — the last printed line is always
+# a valid record — so the budget can afford room for the two SDXL 1024^2
+# sections, which need ~300 s warm (and populate the persistent compile
+# cache for the next run when cold).
+BUDGET_S = float(os.environ.get("GRAFT_BENCH_BUDGET", 1200))
 _T0 = time.time()
 
 # bf16 peak FLOP/s per chip by device kind substring

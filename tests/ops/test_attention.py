@@ -195,3 +195,42 @@ def test_short_attention_bhsd_matches_bshd():
         ).sum()
     )(q)
     np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref), atol=1e-4)
+
+
+def test_short_attention_packed_matches_bshd():
+    """(B, S, H*D) zero-relayout entry (the JiT denoiser's TPU hot path)."""
+    from vision_pt_tpu.ops.short_attention import (
+        short_attention,
+        short_attention_packed,
+    )
+
+    B, S, H, D = 2, 37, 4, 64
+    q = jax.random.normal(jax.random.key(0), (B, S, H, D), dtype=jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (B, S, H, D), dtype=jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (B, S, H, D), dtype=jnp.float32)
+    kv_lens = jnp.asarray([37, 21], dtype=jnp.int32)
+
+    ref = short_attention(q, k, v, kv_lens, interpret=True)
+    out = short_attention_packed(
+        q.reshape(B, S, H * D), k.reshape(B, S, H * D),
+        v.reshape(B, S, H * D), H, kv_lens, interpret=True,
+    ).reshape(B, S, H, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    g_ref = jax.grad(
+        lambda q, k, v: (
+            short_attention(q, k, v, kv_lens, interpret=True) ** 2
+        ).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_out = jax.grad(
+        lambda q, k, v: (
+            short_attention_packed(
+                q.reshape(B, S, H * D), k.reshape(B, S, H * D),
+                v.reshape(B, S, H * D), H, kv_lens, interpret=True,
+            ) ** 2
+        ).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -103,6 +103,288 @@ def _bwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, do_ref,
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
+# ------------------------------------------------- all-heads-per-program
+
+
+def _head_fwd(q, k, v, kv_len, scale):
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (Sq, Sk)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v.dtype)
+    return jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fwd_kernel_ah(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale, heads):
+    """One program per BATCH element; heads unrolled inside. 12x fewer grid
+    steps than the (B, H) kernel — the per-instance DMA/loop overhead was
+    the dominant cost at (S, D) = (304, 64) blocks."""
+    b = pl.program_id(0)
+    kv_len = kv_lens_ref[b]
+    for h in range(heads):
+        o = _head_fwd(
+            q_ref[0, h].astype(jnp.float32),
+            k_ref[0, h].astype(jnp.float32),
+            v_ref[0, h],
+            kv_len,
+            scale,
+        )
+        o_ref[0, h] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel_ah(kv_lens_ref, q_ref, k_ref, v_ref, do_ref,
+                   dq_ref, dk_ref, dv_ref, *, scale, heads):
+    b = pl.program_id(0)
+    kv_len = kv_lens_ref[b]
+    for h in range(heads):
+        q = q_ref[0, h].astype(jnp.float32)
+        k = k_ref[0, h].astype(jnp.float32)
+        v = v_ref[0, h].astype(jnp.float32)
+        do = do_ref[0, h].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / denom
+        dv = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
+
+
+def _run_fwd_ah(q_bhsd, k_bhsd, v_bhsd, kv_lens, scale, interpret):
+    batch, heads, sq, dim = q_bhsd.shape
+    sk = k_bhsd.shape[2]
+    qspec = pl.BlockSpec((1, heads, sq, dim), lambda b: (b, 0, 0, 0))
+    kspec = pl.BlockSpec((1, heads, sk, dim), lambda b: (b, 0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_ah, scale=scale, heads=heads),
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qspec, kspec, kspec,
+        ],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct(q_bhsd.shape, q_bhsd.dtype),
+        interpret=interpret,
+    )(kv_lens, q_bhsd, k_bhsd, v_bhsd)
+
+
+def _run_bwd_ah(q_bhsd, k_bhsd, v_bhsd, do_bhsd, kv_lens, scale, interpret):
+    batch, heads, sq, dim = q_bhsd.shape
+    sk = k_bhsd.shape[2]
+    qspec = pl.BlockSpec((1, heads, sq, dim), lambda b: (b, 0, 0, 0))
+    kspec = pl.BlockSpec((1, heads, sk, dim), lambda b: (b, 0, 0, 0))
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_ah, scale=scale, heads=heads),
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qspec, kspec, kspec, qspec,
+        ],
+        out_specs=[qspec, kspec, kspec],
+        out_shape=[
+            jax.ShapeDtypeStruct(q_bhsd.shape, q_bhsd.dtype),
+            jax.ShapeDtypeStruct(k_bhsd.shape, k_bhsd.dtype),
+            jax.ShapeDtypeStruct(v_bhsd.shape, v_bhsd.dtype),
+        ],
+        interpret=interpret,
+    )(kv_lens, q_bhsd, k_bhsd, v_bhsd, do_bhsd)
+
+
+# ------------------------------------------- packed (B, S, H*D) kernel
+
+
+def _fwd_kernel_packed(kv_lens_ref, q_ref, k_ref, v_ref, o_ref,
+                       *, scale, heads, dim):
+    """Heads live as static 64/128-wide LANE slices of a (S, H*D) block —
+    the one head-extraction pattern that is layout-free on both sides: the
+    model's (B, S, H, D) tensors collapse to (B, S, H*D) with no data
+    movement, and static lane slices lower cleanly on Mosaic (same pattern
+    as the NF4 kernel's 64-column chunks)."""
+    b = pl.program_id(0)
+    kv_len = kv_lens_ref[b]
+    for h in range(heads):
+        sl = slice(h * dim, (h + 1) * dim)
+        o = _head_fwd(
+            q_ref[0, :, sl].astype(jnp.float32),
+            k_ref[0, :, sl].astype(jnp.float32),
+            v_ref[0, :, sl],
+            kv_len,
+            scale,
+        )
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel_packed(kv_lens_ref, q_ref, k_ref, v_ref, do_ref,
+                       dq_ref, dk_ref, dv_ref, *, scale, heads, dim):
+    b = pl.program_id(0)
+    kv_len = kv_lens_ref[b]
+    for h in range(heads):
+        sl = slice(h * dim, (h + 1) * dim)
+        q = q_ref[0, :, sl].astype(jnp.float32)
+        k = k_ref[0, :, sl].astype(jnp.float32)
+        v = v_ref[0, :, sl].astype(jnp.float32)
+        do = do_ref[0, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        p = e / denom
+        dv = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _pad_seq3(x, target):
+    pad = target - x.shape[1]
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+
+
+def _prep_packed(q, k, v, kv_lens):
+    batch, sq, _ = q.shape
+    sk = k.shape[1]
+    if kv_lens is None:
+        kv_lens = jnp.full((batch,), sk, dtype=jnp.int32)
+    qb = _pad_seq3(q, _ceil_to(sq, 8))
+    kb = _pad_seq3(k, _ceil_to(sk, 8))
+    vb = _pad_seq3(v, _ceil_to(sk, 8))
+    return qb, kb, vb, kv_lens.astype(jnp.int32), sq, sk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5, 6))
+def short_attention_packed(q, k, v, num_heads, kv_lens=None, scale=None,
+                           interpret=False):
+    """(B, S, H*D) attention: zero-relayout entry for BSHD models.
+
+    The caller's (B, S, H, D) q/k/v collapse to (B, S, H*D) for free (minor
+    dims merge in memory order), so unlike the BHSD kernels this path never
+    pays a head transpose on either side of the pallas call. kv_lens is (B,)
+    suffix key padding.
+    """
+    out, _ = _packed_fwd(q, k, v, num_heads, kv_lens, scale, interpret)
+    return out
+
+
+def _packed_fwd(q, k, v, num_heads, kv_lens, scale, interpret):
+    dim = q.shape[-1] // num_heads
+    if scale is None:
+        scale = dim**-0.5
+    qb, kb, vb, lens, sq, sk = _prep_packed(q, k, v, kv_lens)
+    batch, sq_p, e = qb.shape
+    sk_p = kb.shape[1]
+    qspec = pl.BlockSpec((1, sq_p, e), lambda b: (b, 0, 0))
+    kspec = pl.BlockSpec((1, sk_p, e), lambda b: (b, 0, 0))
+    out = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_packed, scale=scale, heads=num_heads, dim=dim
+        ),
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qspec, kspec, kspec,
+        ],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct(qb.shape, qb.dtype),
+        interpret=interpret,
+    )(lens, qb, kb, vb)
+    return out[:, :sq], (q, k, v, kv_lens)
+
+
+def _packed_bwd(num_heads, scale, interpret, res, dout):
+    q, k, v, kv_lens = res
+    dim = q.shape[-1] // num_heads
+    if scale is None:
+        scale = dim**-0.5
+    qb, kb, vb, lens, sq, sk = _prep_packed(q, k, v, kv_lens)
+    batch, sq_p, e = qb.shape
+    sk_p = kb.shape[1]
+    dob = _pad_seq3(dout.astype(q.dtype), sq_p)
+    qspec = pl.BlockSpec((1, sq_p, e), lambda b: (b, 0, 0))
+    kspec = pl.BlockSpec((1, sk_p, e), lambda b: (b, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_packed, scale=scale, heads=num_heads, dim=dim
+        ),
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qspec, kspec, kspec, qspec,
+        ],
+        out_specs=[qspec, kspec, kspec],
+        out_shape=[
+            jax.ShapeDtypeStruct(qb.shape, qb.dtype),
+            jax.ShapeDtypeStruct(kb.shape, kb.dtype),
+            jax.ShapeDtypeStruct(vb.shape, vb.dtype),
+        ],
+        interpret=interpret,
+    )(lens, qb, kb, vb, dob)
+    return dq[:, :sq], dk[:, :sk], dv[:, :sk], None
+
+
+short_attention_packed.defvjp(
+    lambda q, k, v, num_heads, kv_lens, scale, interpret: _packed_fwd(
+        q, k, v, num_heads, kv_lens, scale, interpret
+    ),
+    _packed_bwd,
+)
+
+
 # ---------------------------------------------------------------- plumbing
 
 
@@ -237,11 +519,19 @@ def _prep_bhsd(q, k, v, kv_lens):
     return qb, kb, vb, kv_lens.astype(jnp.int32), sq, sk
 
 
+def _use_all_heads(qb, kb) -> bool:
+    """All-heads-per-program needs q+k+v+o blocks resident at once; fall back
+    to the (B, H) grid when that exceeds a conservative VMEM share."""
+    per_block = (2 * qb[0].size + 2 * kb[0].size) * qb.dtype.itemsize
+    return per_block <= 8 * 1024 * 1024
+
+
 def _short_bhsd_fwd(q, k, v, kv_lens, scale, interpret):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     qb, kb, vb, lens, sq, sk = _prep_bhsd(q, k, v, kv_lens)
-    out = _run_fwd(qb, kb, vb, lens, scale, interpret)
+    run = _run_fwd_ah if _use_all_heads(qb, kb) else _run_fwd
+    out = run(qb, kb, vb, lens, scale, interpret)
     return out[:, :, :sq], (q, k, v, kv_lens)
 
 
@@ -251,7 +541,8 @@ def _short_bhsd_bwd(scale, interpret, res, dout):
         scale = q.shape[-1] ** -0.5
     qb, kb, vb, lens, sq, sk = _prep_bhsd(q, k, v, kv_lens)
     dob = _pad_seq_bhsd(dout.astype(q.dtype), qb.shape[2])
-    dq, dk, dv = _run_bwd(qb, kb, vb, dob, lens, scale, interpret)
+    run = _run_bwd_ah if _use_all_heads(qb, kb) else _run_bwd
+    dq, dk, dv = run(qb, kb, vb, dob, lens, scale, interpret)
     return dq[:, :, :sq], dk[:, :, :sk], dv[:, :, :sk], None
 
 
