@@ -226,6 +226,12 @@ def apply_rope(x: jax.Array, freqs: jax.Array) -> jax.Array:
 # Dispatch switch for the packed short-sequence Pallas kernel below (A/B
 # measurement + emergency fallback to the XLA remat path).
 USE_PACKED_SHORT_ATTENTION = True
+# Measured crossover on v5e (JiT-B/16 train step, packed/XLA img-s ratio by
+# sequence length, same-session A/B 2026-08-17): S=106 -> 0.81, 186 -> 1.02,
+# 238 -> 0.95, 298 -> 1.10, 442 -> 1.20. The win grows with S (the (S,S)
+# VMEM-resident kernel amortizes its per-program overhead quadratically)
+# but is noisy below ~250, so the gate stays conservative.
+MIN_PACKED_SEQ = 256
 
 
 class Attention(nnx.Module):
@@ -294,7 +300,7 @@ class Attention(nnx.Module):
         if (
             USE_PACKED_SHORT_ATTENTION
             and key_mask is None
-            and s <= MAX_SHORT_SEQ
+            and MIN_PACKED_SEQ <= s <= MAX_SHORT_SEQ
             and _on_tpu()
         ):
             # packed short-sequence kernel: (B, S, H, D) -> (B, S, H*D) is a

@@ -35,24 +35,8 @@ def _ceil_to(x: int, m: int) -> int:
 
 def _fwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale, sq, sk):
     b = pl.program_id(0)
-    q = q_ref[0, 0].astype(jnp.float32)  # (Sq, D)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (Sq, Sk)
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    valid = col < kv_lens_ref[b]
-    s = jnp.where(valid, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    o = _head_fwd(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+                  kv_lens_ref[b], scale)
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
@@ -62,42 +46,10 @@ def _fwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale, sq, sk):
 def _bwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale, sq, sk):
     b = pl.program_id(0)
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    valid = col < kv_lens_ref[b]
-    s = jnp.where(valid, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    p = e / denom  # (Sq, Sk) f32
-
-    # dv = p^T @ do
-    dv = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    dq, dk, dv = _head_bwd(
+        q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0],
+        kv_lens_ref[b], scale,
     )
-    # dp = do @ v^T
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = p * (dp - delta)
-    dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
@@ -107,10 +59,13 @@ def _bwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, do_ref,
 
 
 def _head_fwd(q, k, v, kv_len, scale):
+    # Native-dtype (bf16) MXU dots with f32 accumulation, f32 softmax on the
+    # VPU — the flash kernel's convention. Casting q/k to f32 first would
+    # quarter the MXU rate for zero useful precision (inputs are bf16).
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (Sq, Sk)
+    ) * scale  # (Sq, Sk) f32
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < kv_len, s, NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
@@ -123,6 +78,43 @@ def _head_fwd(q, k, v, kv_len, scale):
     )
 
 
+def _head_bwd(q, k, v, do, kv_len, scale):
+    """One head's full attention backward, (S, S) resident in registers/VMEM.
+    Probability/delta math in f32; every MXU dot takes native-dtype operands
+    with f32 accumulation (p/ds cast back down like the flash kernel's
+    ``p.astype(v.dtype)`` / ``ds.astype(k.dtype)``)."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / denom  # (Sq, Sk) f32
+
+    dv = jax.lax.dot_general(  # dv = p^T @ do
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(  # dp = do @ v^T
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - delta)
+    dq = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dk = jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    return dq, dk, dv
+
+
 def _fwd_kernel_ah(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale, heads):
     """One program per BATCH element; heads unrolled inside. 12x fewer grid
     steps than the (B, H) kernel — the per-instance DMA/loop overhead was
@@ -130,13 +122,7 @@ def _fwd_kernel_ah(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale, heads):
     b = pl.program_id(0)
     kv_len = kv_lens_ref[b]
     for h in range(heads):
-        o = _head_fwd(
-            q_ref[0, h].astype(jnp.float32),
-            k_ref[0, h].astype(jnp.float32),
-            v_ref[0, h],
-            kv_len,
-            scale,
-        )
+        o = _head_fwd(q_ref[0, h], k_ref[0, h], v_ref[0, h], kv_len, scale)
         o_ref[0, h] = o.astype(o_ref.dtype)
 
 
@@ -145,38 +131,10 @@ def _bwd_kernel_ah(kv_lens_ref, q_ref, k_ref, v_ref, do_ref,
     b = pl.program_id(0)
     kv_len = kv_lens_ref[b]
     for h in range(heads):
-        q = q_ref[0, h].astype(jnp.float32)
-        k = k_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h].astype(jnp.float32)
-        do = do_ref[0, h].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
-        p = e / denom
-        dv = jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        dq, dk, dv = _head_bwd(
+            q_ref[0, h], k_ref[0, h], v_ref[0, h], do_ref[0, h],
+            kv_len, scale,
         )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-        ds = p * (dp - delta)
-        dq = jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        dk = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
         dq_ref[0, h] = dq.astype(dq_ref.dtype)
         dk_ref[0, h] = dk.astype(dk_ref.dtype)
         dv_ref[0, h] = dv.astype(dv_ref.dtype)
@@ -236,13 +194,8 @@ def _fwd_kernel_packed(kv_lens_ref, q_ref, k_ref, v_ref, o_ref,
     kv_len = kv_lens_ref[b]
     for h in range(heads):
         sl = slice(h * dim, (h + 1) * dim)
-        o = _head_fwd(
-            q_ref[0, :, sl].astype(jnp.float32),
-            k_ref[0, :, sl].astype(jnp.float32),
-            v_ref[0, :, sl],
-            kv_len,
-            scale,
-        )
+        o = _head_fwd(q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl],
+                      kv_len, scale)
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
@@ -252,38 +205,10 @@ def _bwd_kernel_packed(kv_lens_ref, q_ref, k_ref, v_ref, do_ref,
     kv_len = kv_lens_ref[b]
     for h in range(heads):
         sl = slice(h * dim, (h + 1) * dim)
-        q = q_ref[0, :, sl].astype(jnp.float32)
-        k = k_ref[0, :, sl].astype(jnp.float32)
-        v = v_ref[0, :, sl].astype(jnp.float32)
-        do = do_ref[0, :, sl].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, NEG_INF)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
-        p = e / denom
-        dv = jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        dq, dk, dv = _head_bwd(
+            q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl],
+            do_ref[0, :, sl], kv_len, scale,
         )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-        ds = p * (dp - delta)
-        dq = jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        dk = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
         dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
         dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
