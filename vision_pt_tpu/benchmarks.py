@@ -1,0 +1,526 @@
+"""Benchmark workload builders for the driver bench (``bench.py``).
+
+The traced/compiled code for every bench section lives HERE, not in
+bench.py, for two measured reasons on the tunneled chip:
+
+- **Cache-key stability.** XLA's persistent compilation cache keys include
+  op source locations; editing bench.py used to shift line numbers and
+  silently invalidate every cached executable. Workloads in a library
+  module only re-key when the workload itself changes.
+- **Alarm-free warming.** bench.py hard-caps each section with SIGALRM.
+  When the alarm fires right after a backend compile returns, it kills the
+  Python-side *cache write*, so the next run compiles cold again (observed
+  on the SDXL 1024^2 sections). ``python -m vision_pt_tpu.benchmarks warm``
+  compiles the identical programs with no alarm, populating ``.jax_cache``
+  so driver runs are warm.
+
+Timing protocol (``time_steps``) guards against two tunneled-chip gotchas:
+block_until_ready is unreliable over the tunnel (only a value fetch provably
+waits) and repeated identical executions can be served from a remote cache
+(every timed call varies its inputs).
+
+The headline's ``vs_baseline`` denominator is documented in BASELINE.md
+"Throughput anchor" (the torch reference publishes no numbers; loss-curve
+parity is measured live in tests/models/test_jit_parity.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import time
+
+# See BASELINE.md "Throughput anchor": A100 bf16 peak 312 TFLOP/s x 32%
+# assumed eager-PyTorch MFU / measured 1.65e11 train-FLOPs per image
+# (1.056e13 FLOPs/step at batch 64, XLA cost analysis) ~= 600 img/s.
+A100_REFERENCE_IMAGES_PER_SEC = 600.0
+
+# bf16 peak FLOP/s per chip by device kind substring
+_CHIP_PEAK = [
+    ("v5 lite", 197e12), ("v5e", 197e12),
+    ("v5p", 459e12), ("v4", 275e12), ("v6", 918e12),
+]
+
+
+def setup_cache() -> None:
+    """Point the persistent compilation cache at the repo's .jax_cache."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
+def chip_peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _CHIP_PEAK:
+        if sub in kind:
+            return peak
+    return 197e12  # default: v5e
+
+
+def time_steps(fn, steps: int = 10, windows: int = 3) -> float:
+    """Best-of-N windows seconds per step; fn(i) must return a scalar whose
+    float() closes the window (see module docstring for why)."""
+    best = float("inf")
+    step_counter = 0
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(steps):
+            out = fn(step_counter)
+            step_counter += 1
+        float(out)  # force a fetch
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best
+
+
+# ------------------------------------------------------------ JiT train
+
+
+def _jit_train_setup(config, batch, size, *, dtype, param_dtype):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from .models.jit.denoiser import Denoiser
+    from .ops.loss.flow_match import prepare_scaled_noised_latents
+    from .ops.timestep.sampling import scale_shift_sigmoid_randn
+
+    model = Denoiser(config, dtype=dtype, param_dtype=param_dtype,
+                     rngs=nnx.Rngs(0))
+    optimizer = nnx.Optimizer(model, optax.adamw(1e-4), wrt=nnx.Param)
+
+    context_len = 32
+    sizes = jnp.full((batch, 2), float(size), dtype=jnp.float32)
+    crop = jnp.zeros((batch, 2), dtype=jnp.float32)
+
+    def loss_of(m, images, context, k_t, k_n):
+        t = scale_shift_sigmoid_randn(k_t, batch)
+        noisy, noise = prepare_scaled_noised_latents(k_n, images, t)
+        pred = m(noisy.astype(dtype or images.dtype), t, context,
+                 sizes, sizes, crop)
+        denom = jnp.maximum(1.0 - t.reshape(-1, 1, 1, 1), 0.05)
+        target_v = (images - noisy.astype(jnp.float32)) / denom
+        pred_v = (pred.astype(jnp.float32) - noisy.astype(jnp.float32)) / denom
+        return jnp.mean(jnp.square(pred_v - target_v))
+
+    # pure-split step with donated train state: measured +9.5% over the
+    # nnx.jit form on v5e (no per-step pytree traversal; params/opt-state
+    # buffers update in place instead of round-tripping through fresh HBM)
+    graphdef, state = nnx.split((model, optimizer))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def pure_step(state, images, context, key):
+        m, opt = nnx.merge(graphdef, state)
+        k_t, k_n = jax.random.split(key)
+        loss, grads = nnx.value_and_grad(
+            lambda mm: loss_of(mm, images, context, k_t, k_n)
+        )(m)
+        opt.update(m, grads)
+        _, new_state = nnx.split((m, opt))
+        return new_state, loss
+
+    images = jax.random.normal(
+        jax.random.key(1), (batch, size, size, 3), dtype=jnp.float32
+    )
+    context = jax.random.normal(
+        jax.random.key(2), (batch, context_len, config.context_dim),
+        dtype=dtype or jnp.float32,
+    )
+    key = jax.random.key(0)
+    return state, pure_step, images, context, key
+
+
+def bench_headline() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from .models.jit.config import JiT_B_16_Config
+
+    batch, size = 64, 256
+    state, pure_step, images, context, key = _jit_train_setup(
+        JiT_B_16_Config(), batch, size,
+        dtype=jnp.bfloat16, param_dtype=jnp.float32,
+    )
+    # compile ONCE (AOT) and reuse the executable for cost analysis AND the
+    # timed runs — a separate jit call would compile the program a second
+    # time unless the persistent cache catches it
+    compiled = pure_step.lower(state, images, context, key).compile()
+    flops_per_step = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops_per_step = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    state, loss = compiled(state, images, context, key)  # warmup
+    float(loss)
+
+    box = {"state": state}
+
+    def run(i):
+        box["state"], loss = compiled(
+            box["state"], images, context, jax.random.fold_in(key, i)
+        )
+        return loss
+
+    sec_per_step = time_steps(run, steps=15)
+    images_per_sec = batch / sec_per_step
+
+    mfu = None
+    if flops_per_step:
+        peak = chip_peak_flops(jax.devices()[0])
+        mfu = round(flops_per_step / sec_per_step / peak, 4)
+    return {
+        "images_per_sec": round(images_per_sec, 2),
+        "mfu": mfu,
+        "flops_per_step": flops_per_step,
+    }
+
+
+def bench_jit_s_fp32() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from .models.jit.config import DenoiserConfig
+
+    config = DenoiserConfig(
+        patch_size=8, hidden_size=384, depth=12, num_heads=6,
+        bottleneck_dim=64, context_dim=384, context_start_block=4,
+        rope_axes_dims=[16, 24, 24], rope_axes_lens=[256, 64, 64],
+    )
+    batch, size = 64, 64
+    state, pure_step, images, context, key = _jit_train_setup(
+        config, batch, size, dtype=None, param_dtype=jnp.float32,
+    )
+    state, loss = pure_step(state, images, context, key)
+    float(loss)
+
+    box = {"state": state}
+
+    def run(i):
+        box["state"], loss = pure_step(
+            box["state"], images, context, jax.random.fold_in(key, i)
+        )
+        return loss
+
+    sec = time_steps(run, steps=20)
+    return {"value": round(batch / sec, 2), "unit": "images/sec/chip"}
+
+
+def bench_jit_latent() -> dict:
+    """Driver config #2: JiT-B over cached VAE latents at 256^2-equivalent
+    (32^2 x 4ch latents at patch 4 -> 64 image tokens vs pixel patch-16's
+    256 — a real 4x token reduction; the step starts at the denoiser, no
+    in-step VAE encode, per data/latent_cache.py). Loss-curve quality of
+    this config on the synthetic task is asserted in
+    tests/training/test_latent_patch4_quality.py."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.jit.config import DenoiserConfig
+
+    config = DenoiserConfig(
+        in_channels=4, out_channels=4, patch_size=4,
+        hidden_size=768, depth=12, num_heads=12, bottleneck_dim=128,
+        context_dim=768, context_start_block=4,
+        rope_axes_dims=[16, 24, 24], rope_axes_lens=[256, 64, 64],
+    )
+    batch, latent_size = 64, 32
+    state, pure_step, images, context, key = _jit_train_setup(
+        config, batch, latent_size,
+        dtype=jnp.bfloat16, param_dtype=jnp.float32,
+    )
+    # cached latents stand in for images (4 channels)
+    latents = jax.random.normal(
+        jax.random.key(7), (batch, latent_size, latent_size, 4),
+        dtype=jnp.float32,
+    )
+    state, loss = pure_step(state, latents, context, key)
+    float(loss)
+
+    box = {"state": state}
+
+    def run(i):
+        box["state"], loss = pure_step(
+            box["state"], latents, context, jax.random.fold_in(key, i)
+        )
+        return loss
+
+    sec = time_steps(run, steps=15)
+    return {
+        "value": round(batch / sec, 2),
+        "unit": "images/sec/chip (256^2-equiv via cached VAE latents, "
+                "32^2x4ch patch 4 = 64 image tokens vs pixel's 256)",
+    }
+
+
+def bench_sampler() -> dict:
+    """JiT-B 256^2 end-to-end pipeline sampler (scanned Euler loop with CFG
+    batch doubling — ``JiTModel.generate``): sampler steps/s."""
+    import json
+    import tempfile
+    import time as _time
+
+    import jax
+
+    from .models.jit.config import JiTConfig
+    from .models.jit.pipeline import JiTModel
+
+    label2id = tempfile.mktemp(suffix=".json")
+    with open(label2id, "w") as f:
+        json.dump({f"c{i}": i for i in range(4)}, f)
+    config = JiTConfig(
+        context_encoder={"type": "class", "label2id_map_path": label2id},
+        denoiser={
+            "patch_size": 16, "hidden_size": 768, "depth": 12,
+            "num_heads": 12, "bottleneck_dim": 128, "context_dim": 768,
+            "context_start_block": 4, "rope_axes_dims": [16, 24, 24],
+            "rope_axes_lens": [256, 128, 128],
+        },
+        dtype="bfloat16",
+    )
+    model = JiTModel.new_with_config(config)
+    batch, steps = 8, 20
+
+    def sample(seed):
+        out = model.generate(
+            prompt=["c1"] * batch, width=256, height=256,
+            num_inference_steps=steps, cfg_scale=2.0, seed=seed,
+            return_arrays=True,
+        )
+        return jax.device_get(out)
+
+    sample(0)  # compile
+    best = float("inf")
+    for trial in range(3):
+        t0 = _time.perf_counter()
+        sample(trial + 1)  # fresh seed: varies the executed inputs
+        best = min(best, (_time.perf_counter() - t0) / steps)
+    return {
+        "value": round(1.0 / best, 2),
+        "unit": f"pipeline_sampler_steps/sec (batch {batch}, CFG, scanned)",
+    }
+
+
+def bench_flash_attention() -> dict:
+    """fwd+bwd kernel time, K iterations chained INSIDE one compiled program
+    (per-call dispatch over the tunneled chip costs ~ms and would swamp the
+    kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.attention import dot_product_attention
+
+    b, s, h, d = 4, 4096, 12, 64
+    reps = 8
+    qs = [
+        jax.random.normal(jax.random.key(i), (b, s, h, d), dtype=jnp.bfloat16)
+        for i in range(4)
+    ]
+
+    def make(backend):
+        def f(q):
+            return (dot_product_attention(q, q, q, backend=backend) ** 2).sum()
+
+        @jax.jit
+        def chained(q):
+            def body(q, _):
+                loss, g = jax.value_and_grad(f)(q)
+                # data dependency defeats CSE; scale keeps values sane
+                return q + g.astype(q.dtype) * jnp.bfloat16(1e-6), loss
+
+            q, losses = jax.lax.scan(body, q, None, length=reps)
+            return losses.sum()
+
+        chained(qs[0])  # compile
+        return chained
+
+    flash = make("flash")
+    xla = make("xla")
+    t_flash = time_steps(lambda i: flash(qs[i % len(qs)]), steps=3) / reps
+    t_xla = time_steps(lambda i: xla(qs[i % len(qs)]), steps=3) / reps
+    return {
+        "value": round(t_xla / t_flash, 3),
+        "unit": f"flash_speedup_vs_xla (S={s}, fwd+bwd)",
+        "flash_ms": round(t_flash * 1e3, 2),
+        "xla_ms": round(t_xla * 1e3, 2),
+    }
+
+
+def bench_nf4_matmul() -> dict:
+    import jax
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from .ops.quant.layers import QuantLinear4bit
+
+    m, k, n = 64, 8192, 8192
+    lin = nnx.Linear(k, n, use_bias=False, dtype=jnp.bfloat16,
+                     param_dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
+    qlin = QuantLinear4bit.from_linear(lin, quant_type="nf4")
+    xs = [
+        jax.random.normal(jax.random.key(1 + i), (m, k), dtype=jnp.bfloat16)
+        for i in range(4)
+    ]
+
+    reps = 32
+
+    def make(layer):
+        @nnx.jit
+        def chained(layer, x):
+            def body(x, _):
+                y = layer(x)
+                return x + y * jnp.bfloat16(1e-6), y.sum()
+
+            x, ys = jax.lax.scan(body, x, None, length=reps)
+            return ys.sum()
+
+        chained(layer, xs[0])  # compile
+        return chained
+
+    bf16 = make(lin)
+    q4 = make(qlin)
+    t_bf16 = time_steps(lambda i: bf16(lin, xs[i % len(xs)]), steps=3) / reps
+    t_q4 = time_steps(lambda i: q4(qlin, xs[i % len(xs)]), steps=3) / reps
+    return {
+        "value": round(t_bf16 / t_q4, 3),
+        "unit": f"nf4_pallas_vs_bf16_matmul_ratio (M={m}, {k}x{n})",
+        "nf4_us": round(t_q4 * 1e6, 1),
+        "bf16_us": round(t_bf16 * 1e6, 1),
+    }
+
+
+# ------------------------------------------------------------ SDXL LoRA
+
+
+def _sdxl_lora_setup(batch: int, res: int, quantize: bool):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from .models.sdxl.config import DenoiserConfig
+    from .models.sdxl.denoiser import Denoiser
+    from .ops.loss.diffusion import prepare_noised_latents
+    from .peft import AdapterParam, LoRAConfig
+    from .peft.functional import replace_to_peft_layer
+
+    latent = res // 8
+    unet = Denoiser(DenoiserConfig(), dtype=jnp.bfloat16,
+                    param_dtype=jnp.bfloat16, rngs=nnx.Rngs(0))
+    unet.set_gradient_checkpointing(True)
+    if quantize:
+        from .ops.quant.functional import quantize_inplace
+
+        quantize_inplace(unet, "bnb_nf4", include_keys=[""])
+    replace_to_peft_layer(
+        unet, ["attn1", "attn2"], [],
+        LoRAConfig(type="lora", rank=16, alpha=1.0, dtype="bfloat16"), seed=0,
+    )
+    opt = nnx.Optimizer(unet, optax.adamw(1e-4), wrt=AdapterParam)
+
+    latents = jax.random.normal(jax.random.key(0),
+                                (batch, latent, latent, 4), dtype=jnp.bfloat16)
+    ehs = jax.random.normal(jax.random.key(1), (batch, 154, 2048),
+                            dtype=jnp.bfloat16)
+    pooled = jax.random.normal(jax.random.key(2), (batch, 1280),
+                               dtype=jnp.bfloat16)
+    sizes = jnp.full((batch, 2), float(res), dtype=jnp.float32)
+    crop = jnp.zeros((batch, 2), dtype=jnp.float32)
+
+    @nnx.jit
+    def train_step(unet, opt, latents, ehs, pooled, key):
+        kt, kn = jax.random.split(key)
+        t = jax.random.randint(kt, (batch,), 0, 1000)
+
+        def loss_fn(m):
+            noisy, noise = prepare_noised_latents(
+                kn, latents.astype(jnp.float32), t
+            )
+            pred = m(noisy.astype(jnp.bfloat16), t.astype(jnp.float32), ehs,
+                     pooled, sizes, sizes, crop)
+            return jnp.mean(jnp.square(pred.astype(jnp.float32) - noise))
+
+        loss, grads = nnx.value_and_grad(
+            loss_fn, argnums=nnx.DiffState(0, AdapterParam)
+        )(unet)
+        opt.update(unet, grads)
+        return loss
+
+    key = jax.random.key(3)
+    return unet, opt, train_step, latents, ehs, pooled, key
+
+
+def bench_sdxl_lora(quantize: bool) -> dict:
+    import jax
+
+    batch, res = 4, 1024
+    unet, opt, train_step, latents, ehs, pooled, key = _sdxl_lora_setup(
+        batch, res, quantize
+    )
+    float(train_step(unet, opt, latents, ehs, pooled, key))
+    sec = time_steps(
+        lambda i: train_step(unet, opt, latents, ehs, pooled,
+                             jax.random.fold_in(key, i)),
+        steps=5, windows=2,
+    )
+    label = "sdxl_qlora_nf4" if quantize else "sdxl_lora_bf16"
+    return {
+        "value": round(batch / sec, 3),
+        "unit": f"images/sec/chip ({label}, {res}^2, rank16, remat)",
+    }
+
+
+# ------------------------------------------------------------ registry
+
+# (name, fn, floor_s, cap_s): floor = min budget remaining to start the
+# section; cap = SIGALRM hard wall-clock cap applied by bench.py. Ordered
+# cheapest-first so a short driver window still records the most sections.
+SECTIONS = [
+    ("nf4_dequant_matmul", bench_nf4_matmul, 30, 90),
+    ("jit_s_64_fp32_train", bench_jit_s_fp32, 30, 90),
+    ("jit_b_latent_256_train", bench_jit_latent, 30, 90),
+    ("flash_attention_s4096", bench_flash_attention, 30, 120),
+    ("jit_b_256_sampler", bench_sampler, 40, 150),
+    ("sdxl_lora_1024_bf16", lambda: bench_sdxl_lora(False), 60, 240),
+    ("sdxl_qlora_1024_nf4", lambda: bench_sdxl_lora(True), 60, 240),
+]
+
+
+def warm(names: list[str] | None = None) -> None:
+    """Compile-and-run every bench workload with NO alarm, so every backend
+    compile's persistent-cache write completes. Prints each section result
+    (a free measurement record)."""
+    import sys
+
+    setup_cache()
+    t0 = time.time()
+    todo = [("headline", bench_headline)] + [
+        (n, f) for n, f, _, _ in SECTIONS
+    ]
+    if names:
+        todo = [(n, f) for n, f in todo if n in names]
+    for name, fn in todo:
+        t = time.time()
+        try:
+            result = fn()
+        except Exception as e:  # noqa: BLE001
+            result = f"ERROR {type(e).__name__}: {e}"
+        print(f"[warm {int(time.time() - t0)}s] {name} "
+              f"({time.time() - t:.0f}s): {result}", file=sys.stderr,
+              flush=True)
+
+
+if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "warm":
+        warm(sys.argv[2:] or None)
+    else:
+        print(__doc__)

@@ -19,6 +19,7 @@ JAX/NNX-first:
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -226,6 +227,24 @@ def apply_rope(x: jax.Array, freqs: jax.Array) -> jax.Array:
 # Dispatch switch for the packed short-sequence Pallas kernel below (A/B
 # measurement + emergency fallback to the XLA remat path).
 USE_PACKED_SHORT_ATTENTION = True
+# Trace-time inference switch: the packed kernel's win is fwd+bwd (the
+# custom-vjp recompute is what it amortizes); FORWARD-ONLY the XLA path is
+# ~2% faster (sampler A/B on v5e, 2026-08-17: packed 50.2/50.9 vs XLA
+# 52.3/51.5 steps/s at S=298). Samplers trace under this context manager.
+_PACKED_DISABLED = False
+
+
+@contextlib.contextmanager
+def packed_attention_disabled():
+    """Disable the packed Pallas kernel for code traced inside this block
+    (forward-only workloads — see measurement note above)."""
+    global _PACKED_DISABLED
+    prev = _PACKED_DISABLED
+    _PACKED_DISABLED = True
+    try:
+        yield
+    finally:
+        _PACKED_DISABLED = prev
 # Measured crossover on v5e (JiT-B/16 train step, packed/XLA img-s ratio by
 # sequence length, same-session A/B 2026-08-17): S=106 -> 0.81, 186 -> 1.02,
 # 238 -> 0.95, 298 -> 1.10, 442 -> 1.20. The win grows with S (the (S,S)
@@ -299,6 +318,7 @@ class Attention(nnx.Module):
         b, s, _ = hidden_states.shape
         if (
             USE_PACKED_SHORT_ATTENTION
+            and not _PACKED_DISABLED
             and key_mask is None
             and MIN_PACKED_SEQ <= s <= MAX_SHORT_SEQ
             and _on_tpu()

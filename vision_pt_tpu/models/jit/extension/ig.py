@@ -15,7 +15,8 @@ from PIL import Image
 
 from ....utils import PromptType, tensor as tensor_utils
 from ..config import DenoiserConfig, JiTConfig
-from ..denoiser import BottleneckFinalLayer, FinalLayer, JiT
+from ..denoiser import (BottleneckFinalLayer, FinalLayer, JiT,
+                         packed_attention_disabled)
 from ..pipeline import JiTModel
 
 
@@ -103,6 +104,7 @@ class IGGenerateMixin:
     """Shared generate() for guidance models whose denoiser returns
     (pred, weak_pred) (reference ``ig.py:258-377``)."""
 
+    @packed_attention_disabled()
     def generate(
         self,
         prompt: PromptType,
