@@ -39,7 +39,7 @@ import traceback
 # a valid record — so the budget can afford room for the two SDXL 1024^2
 # sections, which need ~300 s warm (and populate the persistent compile
 # cache for the next run when cold).
-BUDGET_S = float(os.environ.get("GRAFT_BENCH_BUDGET", 1200))
+BUDGET_S = float(os.environ.get("GRAFT_BENCH_BUDGET", 3000))
 _T0 = time.time()
 
 

@@ -1,0 +1,60 @@
+"""Preemption-safe training: SIGTERM -> finish step -> save -> clean stop.
+
+The reference has no preemption handling (SURVEY §5: its only cleanup is
+``accelerator.end_training``, ``src/trainer/common.py:483-486``); this is a
+deliberate TPU-production improvement — cloud TPU preemptions deliver
+SIGTERM with a grace window.
+"""
+
+import os
+import signal
+
+from tests.training.test_checkpoint_resume import _make_trainer
+
+
+def test_sigterm_saves_and_stops_cleanly(tmp_path):
+    trainer = _make_trainer(tmp_path, resume=False, epochs=50, per_steps=1000)
+    seen_steps = []
+    orig_prepare = trainer.model.prepare_batch
+
+    def prepare_and_preempt(batch, key):
+        seen_steps.append(trainer.global_step)
+        if trainer.global_step == 2:
+            # real signal delivery, mid-loop (handled at the next bytecode
+            # boundary -> the in-flight step still completes)
+            os.kill(os.getpid(), signal.SIGTERM)
+        return orig_prepare(batch, key)
+
+    trainer.model.prepare_batch = prepare_and_preempt
+    trainer.training_loop()  # must return, not die
+
+    # stopped right after the step that received the signal
+    assert trainer._preempted
+    assert trainer.global_step == 3
+    # full train state was written at the preemption step
+    assert trainer.checkpointer.latest_step() == 3
+
+    # default SIGTERM disposition restored after the loop
+    assert signal.getsignal(signal.SIGTERM) in (
+        signal.SIG_DFL, signal.Handlers.SIG_DFL
+    )
+
+    # and a resumed trainer picks up exactly there
+    resumed = _make_trainer(tmp_path, resume=True, epochs=50, per_steps=1000)
+    assert resumed.global_step == 3
+
+
+def test_sigterm_without_checkpointer_stops_without_saving(tmp_path):
+    trainer = _make_trainer(tmp_path, resume=False, epochs=50, per_steps=1000)
+    trainer.checkpointer = None
+    orig_prepare = trainer.model.prepare_batch
+
+    def prepare_and_preempt(batch, key):
+        if trainer.global_step == 1:
+            os.kill(os.getpid(), signal.SIGTERM)
+        return orig_prepare(batch, key)
+
+    trainer.model.prepare_batch = prepare_and_preempt
+    trainer.training_loop()
+    assert trainer._preempted
+    assert trainer.global_step == 2

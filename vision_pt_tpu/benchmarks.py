@@ -482,14 +482,27 @@ def bench_sdxl_lora(quantize: bool) -> dict:
 # (name, fn, floor_s, cap_s): floor = min budget remaining to start the
 # section; cap = SIGALRM hard wall-clock cap applied by bench.py. Ordered
 # cheapest-first so a short driver window still records the most sections.
+# Cap sizing: on the tunneled chip, persistent-cache HITS for 50-80 MB
+# executables cost 60-120 s (load/transfer), about as much as a recompile
+# (measured 2026-08-17: jit_s hit >90 s with no new cache entry; sdxl_lora
+# recompile 354 s vs cache-hit 389 s) — caps cover the slow-load case, and
+# the incremental-emit protocol in bench.py tolerates a driver kill inside
+# any section.
 SECTIONS = [
-    ("nf4_dequant_matmul", bench_nf4_matmul, 30, 90),
-    ("jit_s_64_fp32_train", bench_jit_s_fp32, 30, 90),
-    ("jit_b_latent_256_train", bench_jit_latent, 30, 90),
-    ("flash_attention_s4096", bench_flash_attention, 30, 120),
-    ("jit_b_256_sampler", bench_sampler, 40, 150),
-    ("sdxl_lora_1024_bf16", lambda: bench_sdxl_lora(False), 60, 240),
-    ("sdxl_qlora_1024_nf4", lambda: bench_sdxl_lora(True), 60, 240),
+    ("nf4_dequant_matmul", bench_nf4_matmul, 30, 120),
+    ("jit_s_64_fp32_train", bench_jit_s_fp32, 30, 180),
+    ("jit_b_latent_256_train", bench_jit_latent, 30, 180),
+    ("flash_attention_s4096", bench_flash_attention, 30, 180),
+    ("jit_b_256_sampler", bench_sampler, 40, 240),
+    # SDXL 1024^2 sections: even with a warm compile cache the Python-side
+    # model build + nnx trace of the remat UNet takes ~300-350 s on this
+    # one-core host (measured 2026-08-17: lora 389 s wall / 72 s user,
+    # cache hit) — caps must cover setup+trace, not just device time.
+    ("sdxl_lora_1024_bf16", lambda: bench_sdxl_lora(False), 120, 480),
+    # qlora recompiles in ~1100-1300 s (the 560-layer inline-dequant
+    # UNet; measured 1267 s warm-run, 1131 s bench-run) and the key
+    # instability above means the driver run usually DOES recompile.
+    ("sdxl_qlora_1024_nf4", lambda: bench_sdxl_lora(True), 120, 1320),
 ]
 
 

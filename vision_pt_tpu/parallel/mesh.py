@@ -12,6 +12,8 @@ the sharding of the loss computation.
 - fsdp axis: parameter + optimizer-state sharding (ZeRO-3 equivalent)
 - tensor axis: reserved for megatron-style tensor parallelism of the largest
   models; the helpers accept it but JiT/SDXL-scale models don't need it.
+- seq axis: sequence/context parallelism (ring attention over ICI,
+  ops/ring_attention.py) for token counts beyond one chip.
 """
 
 from __future__ import annotations
@@ -29,6 +31,7 @@ class MeshConfig(BaseModel):
     data: int = 1
     fsdp: int = 1
     tensor: int = 1
+    seq: int = 1
 
 
 def make_mesh(
@@ -46,7 +49,7 @@ def make_mesh(
     else:
         cfg = config
 
-    sizes = [cfg.data, cfg.fsdp, cfg.tensor]
+    sizes = [cfg.data, cfg.fsdp, cfg.tensor, cfg.seq]
     if -1 in sizes:
         known = int(np.prod([s for s in sizes if s != -1]))
         sizes[sizes.index(-1)] = n // known
@@ -54,7 +57,7 @@ def make_mesh(
         f"mesh {sizes} does not cover {n} devices"
     )
     dev_array = np.asarray(devices).reshape(sizes)
-    return Mesh(dev_array, axis_names=("data", "fsdp", "tensor"))
+    return Mesh(dev_array, axis_names=("data", "fsdp", "tensor", "seq"))
 
 
 def fsdp_partition_spec(

@@ -96,6 +96,7 @@ class Trainer:
         self._jit_train_step = None
         self._jit_update_ema = None
         self.checkpointer = None
+        self._preempted = False
 
     # ------------------------------------------------------------ setup
 
@@ -428,6 +429,40 @@ class Trainer:
             print(f"[profiler] unavailable on this platform: {e}")
             self.config.trainer.profile_dir = None
 
+    def _install_preemption_handler(self):
+        """SIGTERM -> finish the in-flight step, save full train state, exit
+        the loop cleanly. Cloud TPU preemptions deliver SIGTERM with a grace
+        window; the reference has no preemption handling at all (SURVEY §5 —
+        its only cleanup is ``accelerator.end_training``,
+        ``src/trainer/common.py:483-486``). Returns a restore() callable."""
+        import signal as _signal
+
+        try:
+            prev = _signal.getsignal(_signal.SIGTERM)
+
+            def _handler(signum, frame):
+                self._preempted = True
+                print("[preemption] SIGTERM received — will checkpoint and "
+                      "stop after the current step", flush=True)
+
+            _signal.signal(_signal.SIGTERM, _handler)
+            return lambda: _signal.signal(_signal.SIGTERM, prev)
+        except ValueError:  # not the main thread
+            return lambda: None
+
+    def _handle_preemption(self) -> bool:
+        """Save-and-stop if a SIGTERM arrived; returns True to break."""
+        if not self._preempted:
+            return False
+        if self.checkpointer is not None:
+            self.save_train_state()
+            print(f"[preemption] train state saved at step {self.global_step};"
+                  " resume with trainer.checkpointing.resume=true", flush=True)
+        else:
+            print("[preemption] no checkpointer configured — stopping without"
+                  " saving train state", flush=True)
+        return True
+
     def training_loop(self):
         assert self.model is not None and self.optimizer is not None
         cfg = self.config
@@ -453,6 +488,21 @@ class Trainer:
             skip_steps = self.global_step - start_epoch * self.steps_per_epoch
         total = self.steps_per_epoch * (cfg.num_train_epochs - start_epoch)
         pbar = tqdm(total=total, desc="train", initial=skip_steps)
+        self._preempted = False
+        restore_sigterm = self._install_preemption_handler()
+        try:
+            self._training_epochs(cfg, debug, start_epoch, skip_steps, pbar)
+        finally:
+            restore_sigterm()
+        if self._preempted or debug == "1step":
+            return
+        pbar.close()
+
+        # final save
+        if self.saving_strategy is not None and self.saving_strategy.save_last:
+            self._save_model(self.current_epoch + 1, self.global_step)
+
+    def _training_epochs(self, cfg, debug, start_epoch, skip_steps, pbar):
         for epoch in range(start_epoch, cfg.num_train_epochs):
             self.current_epoch = epoch
             # pin shuffle order + per-item RNG streams to the epoch number
@@ -532,12 +582,9 @@ class Trainer:
                 if debug == "1step":
                     print("debug_mode=1step: stopping after one step")
                     return
+                if self._handle_preemption():
+                    return
             self.model.after_train_epoch()
-        pbar.close()
-
-        # final save
-        if self.saving_strategy is not None and self.saving_strategy.save_last:
-            self._save_model(self.current_epoch + 1, self.global_step)
 
     # ------------------------------------------------------------ callbacks
 
