@@ -33,7 +33,15 @@ class TrainStateCheckpointer:
         optimizer: nnx.Optimizer,
         ema_state=None,
         metadata: dict | None = None,
+        block: bool = True,
     ) -> None:
+        """block=False returns as soon as the device arrays are snapshotted
+        and commits in the background (orbax atomic rename — an interrupted
+        async save never leaves a corrupt step dir); training overlaps the
+        serialization. Call ``wait()`` (or save with block=True, e.g. the
+        preemption save) before relying on the file being on disk."""
+        # orbax requires the previous async save to finish before a new one
+        self.manager.wait_until_finished()
         params = nnx.state(trainable)
         opt_state = nnx.state(optimizer)
         payload = {
@@ -45,6 +53,11 @@ class TrainStateCheckpointer:
         if metadata:
             payload["metadata"] = ocp.args.JsonSave(metadata)
         self.manager.save(step, args=ocp.args.Composite(**payload))
+        if block:
+            self.manager.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed."""
         self.manager.wait_until_finished()
 
     def latest_step(self) -> int | None:

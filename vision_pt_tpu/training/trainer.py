@@ -359,7 +359,10 @@ class Trainer:
                 self.train_dataset.set_epoch(self.current_epoch)
             print(f"[checkpoint] resumed from step {self.global_step}")
 
-    def save_train_state(self):
+    def save_train_state(self, block: bool = False):
+        """Periodic saves are async (orbax commits in the background while
+        training continues — the atomic rename means an interruption never
+        leaves a corrupt step); the preemption save blocks."""
         if self.checkpointer is None:
             return
         self.sync_module_state()
@@ -373,6 +376,7 @@ class Trainer:
                 "epoch": self.current_epoch,
                 "key_counter": self._key_counter,
             },
+            block=block,
         )
 
     def prepare_saving_strategy(self):
@@ -455,7 +459,7 @@ class Trainer:
         if not self._preempted:
             return False
         if self.checkpointer is not None:
-            self.save_train_state()
+            self.save_train_state(block=True)
             print(f"[preemption] train state saved at step {self.global_step};"
                   " resume with trainer.checkpointing.resume=true", flush=True)
         else:
@@ -706,6 +710,8 @@ class Trainer:
         try:
             self.training_loop()
         finally:
+            if self.checkpointer is not None:
+                self.checkpointer.wait()
             for tracker in self.trackers:
                 tracker.finish()
         print(f"training finished in {time.time() - start:.1f}s")
