@@ -189,6 +189,9 @@ def test_inference_server_http_roundtrip():
     import threading as _t
 
     t2i._lock = _t.Lock()
+    t2i.batcher = inference_server.Batcher(
+        t2i._generate_batch, max_batch=4, max_delay_ms=30.0
+    )
 
     # patch generate to pin fp32 (the tiny test model is fp32)
     orig_generate = model.generate
@@ -235,6 +238,61 @@ def test_inference_server_http_roundtrip():
         assert exc_info.value.code == 422
     finally:
         server.shutdown()
+
+
+def test_server_batcher_groups_compatible_requests():
+    """Concurrent seedless requests with one compiled-program key run as
+    ONE batched call; mismatched shapes and seeded requests do not mix."""
+    import time
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import inference_server
+
+    calls = []
+
+    def fake_generate(params_list):
+        calls.append([p.prompt for p in params_list])
+        time.sleep(0.02)
+        return [f"img:{p.prompt}".encode() for p in params_list]
+
+    batcher = inference_server.Batcher(
+        fake_generate, max_batch=4, max_delay_ms=80.0
+    )
+    P = inference_server.GenerationParams
+    same = dict(width=64, height=64, inference_steps=2, cfg_scale=3.0)
+
+    futs = [batcher.submit(P(prompt=f"p{i}", **same)) for i in range(3)]
+    other = batcher.submit(P(prompt="odd", width=128, height=64,
+                             inference_steps=2, cfg_scale=3.0))
+    seeded = batcher.submit(P(prompt="seeded", seed=7, **same))
+
+    results = [f.result(timeout=10) for f in futs]
+    assert results == [b"img:p0", b"img:p1", b"img:p2"]
+    assert other.result(timeout=10) == b"img:odd"
+    assert seeded.result(timeout=10) == b"img:seeded"
+
+    # the three compatible requests were grouped (one call), the
+    # incompatible and seeded ones ran alone
+    grouped = [c for c in calls if len(c) > 1]
+    assert grouped and set(grouped[0]) <= {"p0", "p1", "p2"}
+    assert ["odd"] in calls and ["seeded"] in calls
+
+
+def test_server_batcher_delivers_exceptions_per_request():
+    sys.path.insert(0, str(REPO / "tools"))
+    import inference_server
+
+    def broken_generate(params_list):
+        raise RuntimeError("boom")
+
+    batcher = inference_server.Batcher(
+        broken_generate, max_batch=2, max_delay_ms=10.0
+    )
+    fut = batcher.submit(inference_server.GenerationParams(
+        prompt="x", width=64, height=64, inference_steps=1, cfg_scale=1.5,
+    ))
+    with pytest.raises(RuntimeError, match="boom"):
+        fut.result(timeout=10)
 
 
 def test_compiled_memory_analysis():
