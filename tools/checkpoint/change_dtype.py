@@ -15,16 +15,19 @@ import click
 @click.option("--dtype", type=click.Choice(
     ["float32", "float16", "bfloat16"]), default="bfloat16")
 def main(input_path: str, output_path: str, dtype: str):
-    import jax.numpy as jnp
+    # pure host-side cast: ml_dtypes handles bfloat16 without initializing
+    # any jax backend (tools must not grab the TPU chip)
+    import ml_dtypes
     import numpy as np
     from safetensors.numpy import load_file, save_file
 
-    target = getattr(jnp, dtype)
+    target = (ml_dtypes.bfloat16 if dtype == "bfloat16"
+              else np.dtype(dtype))
     state = load_file(input_path)
     out = {}
     for k, v in state.items():
         if np.issubdtype(v.dtype, np.floating):
-            out[k] = np.asarray(jnp.asarray(v).astype(target))
+            out[k] = v.astype(target)
         else:
             out[k] = v
     save_file(out, output_path)

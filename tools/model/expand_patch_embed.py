@@ -14,6 +14,10 @@ import click
 import jax
 import numpy as np
 
+# host-side weight tool: never initialize the TPU backend (the axon plugin
+# ignores the JAX_PLATFORMS env var, so pin via config before first use)
+jax.config.update("jax_platforms", "cpu")
+
 EMBED_WEIGHT_KEY = "denoiser.patch_embedder.proj_1.weight"
 FINAL_WEIGHT_KEY = "denoiser.final_layer.linear.weight"
 FINAL_BIAS_KEY = "denoiser.final_layer.linear.bias"

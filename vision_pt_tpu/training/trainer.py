@@ -359,10 +359,11 @@ class Trainer:
                 self.train_dataset.set_epoch(self.current_epoch)
             print(f"[checkpoint] resumed from step {self.global_step}")
 
-    def save_train_state(self, block: bool = False):
-        """Periodic saves are async (orbax commits in the background while
-        training continues — the atomic rename means an interruption never
-        leaves a corrupt step); the preemption save blocks."""
+    def save_train_state(self, block: bool = True):
+        """Blocking by default (callers may rely on the file existing on
+        return). The loop's periodic saves pass block=False: orbax commits
+        in the background while training continues — the atomic rename
+        means an interruption never leaves a corrupt step."""
         if self.checkpointer is None:
             return
         self.sync_module_state()
@@ -459,7 +460,7 @@ class Trainer:
         if not self._preempted:
             return False
         if self.checkpointer is not None:
-            self.save_train_state(block=True)
+            self.save_train_state()
             print(f"[preemption] train state saved at step {self.global_step};"
                   " resume with trainer.checkpointing.resume=true", flush=True)
         else:
@@ -581,7 +582,7 @@ class Trainer:
                     and ckpt_cfg.per_steps
                     and self.global_step % ckpt_cfg.per_steps == 0
                 ):
-                    self.save_train_state()
+                    self.save_train_state(block=False)
 
                 if debug == "1step":
                     print("debug_mode=1step: stopping after one step")
