@@ -499,6 +499,11 @@ class Trainer:
             self._training_epochs(cfg, debug, start_epoch, skip_steps, pbar)
         finally:
             restore_sigterm()
+            # the loop must leave durable state behind: an async periodic
+            # save still committing when the last step finishes would make
+            # latest_step() lie to anyone inspecting the run right after
+            if self.checkpointer is not None:
+                self.checkpointer.wait()
         if self._preempted or debug == "1step":
             return
         pbar.close()
