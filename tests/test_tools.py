@@ -278,6 +278,20 @@ def test_server_batcher_groups_compatible_requests():
     assert ["odd"] in calls and ["seeded"] in calls
 
 
+def test_server_batch_key_never_mixes_seed1_with_seedless():
+    sys.path.insert(0, str(REPO / "tools"))
+    import inference_server
+
+    P = inference_server.GenerationParams
+    same = dict(prompt="x", width=64, height=64, inference_steps=2,
+                cfg_scale=3.0)
+    # True == 1 in Python: a naive `seed is None or seed` key collides
+    assert (inference_server.Batcher.batch_key(P(seed=1, **same))
+            != inference_server.Batcher.batch_key(P(seed=None, **same)))
+    assert (inference_server.Batcher.batch_key(P(seed=None, **same))
+            == inference_server.Batcher.batch_key(P(seed=None, **same)))
+
+
 def test_server_batcher_delivers_exceptions_per_request():
     sys.path.insert(0, str(REPO / "tools"))
     import inference_server

@@ -44,6 +44,29 @@ def test_sigterm_saves_and_stops_cleanly(tmp_path):
     assert resumed.global_step == 3
 
 
+def test_sigterm_on_periodic_save_step_is_idempotent(tmp_path):
+    """SIGTERM landing on a step that just did a periodic save must not
+    crash on orbax StepAlreadyExistsError: the preemption save is a no-op
+    for an already-saved step."""
+    trainer = _make_trainer(tmp_path, resume=False, epochs=50, per_steps=2)
+    orig_prepare = trainer.model.prepare_batch
+
+    def prepare_and_preempt(batch, key):
+        if trainer.global_step == 1:
+            # the signal is handled after step 2 completes — exactly when
+            # the per_steps=2 periodic save also fires for step 2
+            os.kill(os.getpid(), signal.SIGTERM)
+        return orig_prepare(batch, key)
+
+    trainer.model.prepare_batch = prepare_and_preempt
+    trainer.training_loop()  # must return, not raise
+    assert trainer._preempted
+    assert trainer.global_step == 2
+    assert trainer.checkpointer.latest_step() == 2
+    resumed = _make_trainer(tmp_path, resume=True, epochs=50, per_steps=2)
+    assert resumed.global_step == 2
+
+
 def test_sigterm_without_checkpointer_stops_without_saving(tmp_path):
     trainer = _make_trainer(tmp_path, resume=False, epochs=50, per_steps=1000)
     trainer.checkpointer = None

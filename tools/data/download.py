@@ -72,10 +72,17 @@ def safebooru_parquet(parquet_path: str, output_path: str, start_date: str,
     out = Path(output_path)
     out.mkdir(parents=True, exist_ok=True)
     cache = out / "cache.parquet"
-    table = filter_posts_parquet(
-        parquet_path, start_date, end_date, limit,
-        cache_parquet_path=None if cache.exists() else cache,
-    )
+    if cache.exists():
+        # resume: the filtered selection is the cache — skip re-filtering
+        # the full (possibly GB-scale) metadata parquet
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(cache)
+    else:
+        table = filter_posts_parquet(
+            parquet_path, start_date, end_date, limit,
+            cache_parquet_path=cache,
+        )
     posts = {int(row["id"]): row for row in table.to_pylist()}
     print(f"selected {len(posts)} posts")
     n = download_posts(_pool(mirror), posts, out / "images")

@@ -76,7 +76,10 @@ class Batcher:
         # one compiled sampler program per key; seeded requests are unique
         return (
             params.width, params.height, params.inference_steps,
-            params.cfg_scale, params.seed is None or params.seed,
+            params.cfg_scale,
+            # None and 1 must not collide (True == 1 in Python): a seeded
+            # request may never be folded into a seedless batch
+            ("noseed",) if params.seed is None else ("seed", params.seed),
         )
 
     def submit(self, params: "GenerationParams") -> Future:

@@ -42,6 +42,10 @@ class TrainStateCheckpointer:
         preemption save) before relying on the file being on disk."""
         # orbax requires the previous async save to finish before a new one
         self.manager.wait_until_finished()
+        if step in (self.manager.all_steps() or ()):
+            # idempotent: a preemption save can land on a step the periodic
+            # save just wrote (orbax raises StepAlreadyExistsError otherwise)
+            return
         params = nnx.state(trainable)
         opt_state = nnx.state(optimizer)
         payload = {
