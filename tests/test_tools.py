@@ -153,13 +153,6 @@ def test_create_buckets_cache(tmp_path):
     assert rows[0]["width"] in (64, 72, 80)
 
 
-def test_download_tool_is_gated():
-    r = run_tool("tools/data/download.py", "--source", "safebooru",
-                 "-o", "/tmp/x")
-    assert r.returncode != 0
-    assert "network egress" in (r.stderr + r.stdout)
-
-
 @pytest.mark.slow
 def test_inference_server_http_roundtrip():
     """Drive POST /predict over a real socket with a tiny model."""
