@@ -6,8 +6,8 @@
 #
 # Timings from a full observed SOLO run on this host (2026-08-17, warm
 # compile cache, one core; a concurrent python process inflates any shard
-# 2-4x — never overlap shards with other work on this box):
-#   see the table in README "Tests" section (kept in sync with real runs)
+# 2-4x — never overlap shards with other work on this box): see the table
+# in README "Testing & benchmarks" (all 6 shards green, 270 tests, 45 min).
 #
 # Usage: scripts/run_test_shards.sh [shard ...]
 #   with no args, runs every shard sequentially and prints a summary.
