@@ -3,4 +3,4 @@
 # devices; multi-chip parallelism comes from the mesh config, not a launcher.
 set -euo pipefail
 cd "$(dirname "$0")/../../"
-python tools/data/download.py --source safebooru_parquet "$@"
+python tools/data/download.py safebooru-parquet "$@"

@@ -82,6 +82,56 @@ def test_download_posts_layout_and_resume(tmp_path):
     assert download_posts(LocalMirrorPool(mirror), posts, out) == 0
 
 
+def test_filter_posts_null_meta_dropped_and_streaming_limit(tmp_path):
+    """Pins two reference-parity semantics: NULL tag_string_meta rows are
+    dropped (polars Kleene-null filter), and the batch-wise scan honors
+    ``limit`` across record-batch boundaries without reading the tail."""
+    from vision_pt_tpu.data.datapool import filter_posts_parquet
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        {"id": i, "created_at": f"2022-01-{(i % 27) + 1:02d}T00:00:00.000Z",
+         "tag_string_meta": None if i == 3 else "highres"}
+        for i in range(1, 60)
+    ]
+    meta = tmp_path / "meta.parquet"
+    # small row groups so iter_batches yields several batches (the limit
+    # must truncate across batch boundaries, not just within one)
+    pq.write_table(pa.Table.from_pylist(rows), meta, row_group_size=10)
+    table = filter_posts_parquet(meta, "2020-01-01", "2025-12-31", limit=100)
+    ids = table["id"].to_pylist()
+    assert 3 not in ids and len(ids) == 58
+    # limit smaller than one batch and spanning batches both truncate
+    assert filter_posts_parquet(
+        meta, "2020-01-01", "2025-12-31", limit=7
+    ).num_rows == 7
+    # nothing matches -> empty table with the source schema, still writable
+    cache = tmp_path / "empty.parquet"
+    empty = filter_posts_parquet(meta, "1990-01-01", "1990-12-31", limit=5,
+                                 cache_parquet_path=cache)
+    assert empty.num_rows == 0 and cache.exists()
+
+
+def test_download_posts_backfills_missing_metadata(tmp_path):
+    """A crash window can leave an image without its .json; resume must
+    treat that id as incomplete and write the metadata."""
+    from vision_pt_tpu.data.datapool import LocalMirrorPool, download_posts
+
+    mirror = _make_mirror(tmp_path, [1, 2])
+    posts = {1: {"id": 1, "rating": "g"}, 2: {"id": 2, "rating": "s"}}
+    out = tmp_path / "ds" / "images"
+    out.mkdir(parents=True)
+    # simulate the torn state: image 1 present, its json missing
+    (out / "1.webp").write_bytes((mirror / "1.webp").read_bytes())
+    n = download_posts(LocalMirrorPool(mirror), posts, out)
+    assert n == 2  # id 1 re-fetched to backfill, id 2 fresh
+    assert json.loads((out / "1.json").read_text())["rating"] == "g"
+    # now fully complete -> true no-op
+    assert download_posts(LocalMirrorPool(mirror), posts, out) == 0
+
+
 def test_styled_pair_selection(tmp_path):
     from vision_pt_tpu.data.datapool import select_styled_pair_ids
 

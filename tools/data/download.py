@@ -60,7 +60,9 @@ def konachan(output: str, limit: int, mirror: str | None, max_id: int):
 @click.option("--parquet-path", "-i", type=str, required=True)
 @click.option("--output-path", "-o", type=str, required=True)
 @click.option("--start-date", type=str, default="2020-01-01")
-@click.option("--end-date", type=str, default="2025-12-31")
+@click.option("--end-date", type=str, default="2025-12-31",
+              help="EXCLUSIVE upper bound (reference uses a half-open "
+                   "[start, end) window)")
 @click.option("--limit", "-l", type=int, default=1000)
 @click.option("--mirror", type=str, default=None)
 def safebooru_parquet(parquet_path: str, output_path: str, start_date: str,
@@ -74,9 +76,14 @@ def safebooru_parquet(parquet_path: str, output_path: str, start_date: str,
     cache = out / "cache.parquet"
     if cache.exists():
         # resume: the filtered selection is the cache — skip re-filtering
-        # the full (possibly GB-scale) metadata parquet
+        # the full (possibly GB-scale) metadata parquet. Reference
+        # semantics (dl_safebooru_parquet.py:46): the cache wins even when
+        # the filter arguments changed — say so loudly.
         import pyarrow.parquet as pq
 
+        print(f"using cached selection {cache} — current filter args "
+              "(--limit/--start-date/--end-date/-i) are IGNORED; delete "
+              "the cache to re-filter")
         table = pq.read_table(cache)
     else:
         table = filter_posts_parquet(
@@ -96,7 +103,8 @@ def safebooru_parquet(parquet_path: str, output_path: str, start_date: str,
                    "queries the Danbooru API instead, which needs egress)")
 @click.option("--limit", type=int, default=1000)
 @click.option("--start-date", type=str, default="2021-01-01")
-@click.option("--end-date", type=str, default="2024-08-31")
+@click.option("--end-date", type=str, default="2024-08-31",
+              help="EXCLUSIVE upper bound (half-open [start, end) window)")
 @click.option("--mirror", type=str, default=None)
 def safebooru(output: str, metadata_parquet: str, limit: int,
               start_date: str, end_date: str, mirror: str | None):

@@ -90,7 +90,9 @@ then point --mirror at mirror_dir (or rsync it next to the TPU workers)."""
 
 
 def select_trailing_ids(max_id: int, limit: int) -> range:
-    """Newest-``limit`` id range (reference ``dl_konachan.py:7-24``)."""
+    """Trailing id range, END-EXCLUSIVE of ``max_id`` itself — matching the
+    reference's ``range(max(1, MAX_ID - limit), MAX_ID)`` exactly
+    (``dl_konachan.py:7-24``), which also never fetches the max post."""
     return range(max(1, max_id - limit), max_id)
 
 
@@ -104,38 +106,65 @@ def filter_posts_parquet(
     """Date-window + meta-tag filter of a danbooru2024-style metadata
     parquet; returns a pyarrow Table of the selected posts and optionally
     writes the filtered cache parquet (reference
-    ``dl_safebooru_parquet.py:44-85``: created_at in [start, end), none of
-    the excluded meta tags, first ``limit`` rows)."""
+    ``dl_safebooru_parquet.py:44-85``). Semantics pinned to the reference:
+
+    - date window is HALF-OPEN [start, end) (polars ``closed="left"``);
+    - rows with a NULL ``tag_string_meta`` are dropped (the reference's
+      ``~null.list.contains(...)`` is Kleene-null and polars ``filter``
+      drops null-mask rows);
+    - first ``limit`` matching rows in file order.
+
+    The parquet is streamed batch-wise and the scan stops as soon as
+    ``limit`` rows matched — a multi-GB metadata file is never fully
+    materialized (the reference's ``pl.scan_parquet`` lazy frame does the
+    same)."""
+    import datetime as _dt
+
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    table = pq.read_table(parquet_path)
-    created = pc.strptime(
-        pc.utf8_slice_codeunits(table["created_at"], 0, 19),
-        format="%Y-%m-%dT%H:%M:%S",
-        unit="s",
-    )
-    import datetime as _dt
-
     lo = _dt.datetime.fromisoformat(start_date)
     hi = _dt.datetime.fromisoformat(end_date)
-    mask = pc.and_(pc.greater_equal(created, lo), pc.less(created, hi))
-    if "tag_string_meta" in table.column_names:
-        meta = table["tag_string_meta"]
 
-        def _has_token(tag: str):
-            # whole-token match on the space-separated tag string (the
-            # reference splits to a list and uses list.contains)
-            return pc.or_(
-                pc.or_(pc.equal(meta, tag),
-                       pc.starts_with(meta, f"{tag} ")),
-                pc.or_(pc.ends_with(meta, f" {tag}"),
-                       pc.match_substring(meta, f" {tag} ")),
-            )
+    def _batch_mask(batch):
+        created = pc.strptime(
+            pc.utf8_slice_codeunits(batch["created_at"], 0, 19),
+            format="%Y-%m-%dT%H:%M:%S",
+            unit="s",
+        )
+        mask = pc.and_(pc.greater_equal(created, lo), pc.less(created, hi))
+        if "tag_string_meta" in batch.schema.names:
+            meta = batch["tag_string_meta"]
 
-        for tag in _META_EXCLUDE_TAGS:
-            mask = pc.and_(mask, pc.invert(_has_token(tag)))
-    out = table.filter(mask).slice(0, limit)
+            def _has_token(tag: str):
+                # whole-token match on the space-separated tag string (the
+                # reference splits to a list and uses list.contains)
+                return pc.or_(
+                    pc.or_(pc.equal(meta, tag),
+                           pc.starts_with(meta, f"{tag} ")),
+                    pc.or_(pc.ends_with(meta, f" {tag}"),
+                           pc.match_substring(meta, f" {tag} ")),
+                )
+
+            for tag in _META_EXCLUDE_TAGS:
+                mask = pc.and_(mask, pc.invert(_has_token(tag)))
+        return mask
+
+    pf = pq.ParquetFile(parquet_path)
+    kept = []
+    remaining = limit
+    for batch in pf.iter_batches():
+        if remaining <= 0:
+            break
+        filtered = pa.Table.from_batches([batch]).filter(_batch_mask(batch))
+        if filtered.num_rows:
+            kept.append(filtered.slice(0, remaining))
+            remaining -= min(filtered.num_rows, remaining)
+    out = (
+        pa.concat_tables(kept) if kept
+        else pa.Table.from_batches([], schema=pf.schema_arrow)
+    )
     if cache_parquet_path is not None:
         pq.write_table(out, cache_parquet_path)
     return out
@@ -175,8 +204,13 @@ def download_posts(
     """Fetch every post through ``pool`` into the dataset layout the
     text-to-image datasets consume: ``images/<id>.<ext>`` plus
     ``images/<id>.json`` metadata (reference ``dl_safebooru.py:44-51``,
-    ``dl_safebooru_parquet.py:96-127``). Returns the number written;
-    already-present ids are skipped (resume semantics)."""
+    ``dl_safebooru_parquet.py:96-127``). Returns the number written.
+
+    Resume semantics: an id is skipped only when its image AND (when
+    metadata is requested) its ``.json`` are both present — and the JSON is
+    written BEFORE the image copy (the reference writes all JSON up front),
+    so a crash between the two writes can never leave an image that resume
+    would skip while its metadata is missing forever."""
     images = Path(images_dir)
     images.mkdir(parents=True, exist_ok=True)
     if isinstance(posts, dict):
@@ -189,14 +223,22 @@ def download_posts(
         int(p.stem) for p in images.iterdir()
         if p.suffix in _IMAGE_EXTS and p.stem.isdigit()
     }
-    todo = [i for i in ids if int(i) not in existing]
+
+    def _complete(i: int) -> bool:
+        if i not in existing:
+            return False
+        if write_metadata and i in meta:
+            return (images / f"{i}.json").exists()
+        return True
+
+    todo = [i for i in ids if not _complete(int(i))]
     written = 0
     for post_id, src in pool.batch_fetch(todo):
-        shutil.copyfile(src, images / f"{post_id}{src.suffix}")
         if write_metadata and post_id in meta:
             (images / f"{post_id}.json").write_text(
                 json.dumps(meta[post_id], indent=2, ensure_ascii=False,
                            default=str)
             )
+        shutil.copyfile(src, images / f"{post_id}{src.suffix}")
         written += 1
     return written
