@@ -135,8 +135,9 @@ def main():
                 "skipped": f"hard timeout (cap {cap}s, {int(_elapsed())}s elapsed)"
             }
         except Exception as e:  # noqa: BLE001
+            first_line = (str(e).splitlines() or [""])[0]
             extra[name] = {
-                "error": f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+                "error": f"{type(e).__name__}: {first_line[:200]}"
             }
             if os.environ.get("GRAFT_BENCH_DEBUG"):
                 traceback.print_exc()

@@ -154,6 +154,27 @@ def test_auto_image_encoder_sniffs_timm_layout(timm_ckpt):
     assert tokens.shape == (2, GRID * GRID, DIM)  # cls prefix dropped
 
 
+def test_auto_image_encoder_plumbs_num_heads(timm_ckpt):
+    """Head count is not recoverable from fused-qkv weights; the config's
+    num_heads must reach TimmViT (ViT-H-style towers would otherwise get
+    silently wrong attention groupings)."""
+    from vision_pt_tpu.adapters.ip_adapter import ImageEncoderConfig
+    from vision_pt_tpu.models.auto import AutoImageEncoder
+    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+
+    path, sd = timm_ckpt
+    set_default_attention_dtype(None)  # fp32 attention for exact parity
+    enc = AutoImageEncoder(
+        ImageEncoderConfig(type="timm", weights_path=path, feature_dim=DIM,
+                           num_heads=HEADS)
+    )
+    pixels = np.random.default_rng(5).standard_normal(
+        (2, IMG, IMG, 3)).astype(np.float32)
+    got = np.asarray(enc(jnp.asarray(pixels)))
+    want = _torch_vit_forward(sd, pixels)  # oracle groups HEADS heads
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 @pytest.mark.slow
 def test_kyara_workload_with_timm_tower(timm_ckpt):
     """ip_adapter.kyara end-to-end over a local timm-layout tower

@@ -38,6 +38,10 @@ class ImageEncoderConfig(BaseModel):
     # reference auto.py:18-19
     feature_type: str = "pooler_output"  # "hidden_state" | "pooler_output"
     hidden_state_index: int = -1
+    # timm towers only: head count is not recoverable from fused-qkv
+    # weights (the embed_dim//64 default is wrong for e.g. ViT-H/14's
+    # 16 heads of 80) — set it explicitly for such towers
+    num_heads: int | None = None
 
 
 class IPAdapterConfig(BaseModel):

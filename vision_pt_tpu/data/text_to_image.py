@@ -206,14 +206,22 @@ class TextToImageDatasetConfig(AspectRatioBucketConfig):
         path = Path(self.imagesize_cache_path)
         if path.suffix == ".parquet":
             # columnar cache for large folders (reference supports a polars
-            # .parquet cache, ``text_to_image.py:291-371``; pyarrow here)
+            # .parquet cache, ``text_to_image.py:291-371``; pyarrow here);
+            # streamed batch-wise so a million-image cache never
+            # materializes as one Python list
             import pyarrow.parquet as pq
 
-            rows = pq.read_table(str(path)).to_pylist()
+            def _rows():
+                for batch in pq.ParquetFile(str(path)).iter_batches():
+                    yield from batch.to_pylist()
         else:
-            with open(path) as f:
-                rows = [json.loads(line) for line in f]
-        for row in rows:
+
+            def _rows():
+                with open(path) as f:
+                    for line in f:
+                        yield json.loads(line)
+
+        for row in _rows():
             yield ImageCaptionPair(
                 image=Path(row["image"]),
                 width=row["width"],

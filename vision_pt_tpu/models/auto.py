@@ -65,7 +65,13 @@ class AutoImageEncoder:
             if layout == "timm":
                 from .timm_vit import TimmViT
 
-                vit = TimmViT.from_local(weights_path)
+                # head count is NOT recoverable from fused-qkv weights; the
+                # embed_dim//64 inference is wrong for e.g. ViT-H/14 (16
+                # heads of 80) — configs for such towers must set num_heads
+                vit = TimmViT.from_local(
+                    weights_path,
+                    num_heads=getattr(self.config, "num_heads", None),
+                )
 
                 def encode(images):
                     out = vit(images)

@@ -84,8 +84,7 @@ def ring_attention(
     m0 = jnp.full((b, h, s_local), -jnp.inf, dtype=jnp.float32)
     l0 = jnp.zeros((b, h, s_local), dtype=jnp.float32)
 
-    def body(carry, step):
-        o, m, l, k_blk, v_blk = carry
+    def step_update(o, m, l, k_blk, v_blk, step):
         # the block at ring step t on device d originated at device
         # (d - t) mod n — that fixes its keys' global positions
         blk_mask = None
@@ -93,14 +92,22 @@ def ring_attention(
             owner = (my_idx - step) % n_dev
             pos = owner * s_local + jnp.arange(s_local)
             blk_mask = pos[None, :] < kv_lens[:, None]
-        o, m, l = block_update(o, m, l, k_blk, v_blk, blk_mask)
+        return block_update(o, m, l, k_blk, v_blk, blk_mask)
+
+    def body(carry, step):
+        o, m, l, k_blk, v_blk = carry
+        o, m, l = step_update(o, m, l, k_blk, v_blk, step)
         k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
         v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
         return (o, m, l, k_blk, v_blk), None
 
-    (o, m, l, _, _), _ = jax.lax.scan(
-        body, (o0, m0, l0, k, v), jnp.arange(n_dev)
+    # scan n-1 update+rotate steps; the final block is consumed without a
+    # rotation (its rotated shards would be discarded — one wasted pair of
+    # ICI collectives per call, doubled again under reverse-mode AD)
+    (o, m, l, k_last, v_last), _ = jax.lax.scan(
+        body, (o0, m0, l0, k, v), jnp.arange(n_dev - 1)
     )
+    o, m, l = step_update(o, m, l, k_last, v_last, n_dev - 1)
     # rows with zero valid keys (possible under kv_lens) divide by l=0 -> 0
     l = jnp.where(l == 0.0, 1.0, l)
     out = o / l.transpose(0, 2, 1)[..., None]

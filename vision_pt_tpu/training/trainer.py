@@ -495,8 +495,16 @@ class Trainer:
         pbar = tqdm(total=total, desc="train", initial=skip_steps)
         self._preempted = False
         restore_sigterm = self._install_preemption_handler()
+        completed = False
         try:
-            self._training_epochs(cfg, debug, start_epoch, skip_steps, pbar)
+            completed = self._training_epochs(
+                cfg, debug, start_epoch, skip_steps, pbar
+            )
+            # a SIGTERM landing after the last per-step check (inside
+            # after_train_epoch / dataloader teardown) would otherwise be
+            # lost entirely — no preemption checkpoint AND no final save.
+            # Checkpoint it here; saves are idempotent per step.
+            self._handle_preemption()
         finally:
             restore_sigterm()
             # the loop must leave durable state behind: an async periodic
@@ -504,7 +512,7 @@ class Trainer:
             # latest_step() lie to anyone inspecting the run right after
             if self.checkpointer is not None:
                 self.checkpointer.wait()
-        if self._preempted or debug == "1step":
+        if not completed or debug == "1step":
             return
         pbar.close()
 
@@ -591,10 +599,11 @@ class Trainer:
 
                 if debug == "1step":
                     print("debug_mode=1step: stopping after one step")
-                    return
+                    return False
                 if self._handle_preemption():
-                    return
+                    return False
             self.model.after_train_epoch()
+        return True  # every epoch ran to completion
 
     # ------------------------------------------------------------ callbacks
 
