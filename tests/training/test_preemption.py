@@ -67,6 +67,26 @@ def test_sigterm_on_periodic_save_step_is_idempotent(tmp_path):
     assert resumed.global_step == 2
 
 
+def test_sigterm_during_epoch_teardown_still_checkpoints(tmp_path):
+    """A SIGTERM landing AFTER the last per-step check (inside
+    after_train_epoch / epoch teardown) used to be lost entirely — no
+    preemption checkpoint and no final save. training_loop now re-checks
+    after the epochs return."""
+    trainer = _make_trainer(tmp_path, resume=False, epochs=1, per_steps=1000)
+    orig_after = trainer.model.after_train_epoch
+
+    def after_and_preempt():
+        os.kill(os.getpid(), signal.SIGTERM)
+        return orig_after()
+
+    trainer.model.after_train_epoch = after_and_preempt
+    trainer.training_loop()  # must return, not die
+    assert trainer._preempted
+    # the late signal still produced a durable train-state checkpoint
+    assert trainer.checkpointer.latest_step() == trainer.global_step
+    assert trainer.global_step == 2  # the full epoch ran
+
+
 def test_sigterm_without_checkpointer_stops_without_saving(tmp_path):
     trainer = _make_trainer(tmp_path, resume=False, epochs=50, per_steps=1000)
     trainer.checkpointer = None
