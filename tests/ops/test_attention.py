@@ -234,3 +234,32 @@ def test_short_attention_packed_matches_bshd():
     )(q, k, v)
     for a, b in zip(g_out, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_short_attention_packed_bounded_matches_stable():
+    """bounded=True (no-max softmax, QKNorm-bounded logits fast path) is
+    exactly softmax inside BOUNDED_LOGIT_CLIP — forward AND grads match the
+    stable path."""
+    from vision_pt_tpu.ops.short_attention import short_attention_packed
+
+    B, S, H, D = 2, 37, 4, 64
+    E = H * D
+    q = jax.random.normal(jax.random.key(0), (B, S, E), dtype=jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (B, S, E), dtype=jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (B, S, E), dtype=jnp.float32)
+    kv_lens = jnp.asarray([37, 21], dtype=jnp.int32)
+
+    ref = short_attention_packed(q, k, v, H, kv_lens, None, True, False)
+    out = short_attention_packed(q, k, v, H, kv_lens, None, True, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def loss(q, k, v, bounded):
+        return (
+            short_attention_packed(q, k, v, H, kv_lens, None, True, bounded)
+            ** 2
+        ).sum()
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, False)
+    g_out = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, True)
+    for a, b in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

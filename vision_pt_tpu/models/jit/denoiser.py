@@ -337,6 +337,10 @@ class Attention(nnx.Module):
                 v.reshape(b, s, -1),
                 self.num_heads,
                 kv_lens,
+                # QKNorm bounds the logits (RoPE preserves norms), so the
+                # kernel may skip the softmax max-subtraction — the largest
+                # VPU cost on its (S, S) tile. See BOUNDED_LOGIT_CLIP.
+                bounded=self.q_norm is not None,
             )
             return self.to_o(attn.astype(hidden_states.dtype))
         q, k, v = self._project_qkv(hidden_states, rope_freqs)

@@ -58,39 +58,80 @@ def _bwd_kernel(kv_lens_ref, q_ref, k_ref, v_ref, do_ref,
 # ------------------------------------------------- all-heads-per-program
 
 
-def _head_fwd(q, k, v, kv_len, scale):
+LOG2E = 1.4426950408889634  # exp(x) = exp2(x * log2 e); exp2 is the VPU's
+# native transcendental, so folding log2e into the (free) score scale saves
+# the per-element multiply inside every exp on the (S, S) tile.
+
+# Bounded-logits fast path: with QKNorm + RoPE the logits are provably
+# bounded (|s| <= scale * ||q_hat|| * ||k_hat|| = sqrt(D) * |g_q| * |g_k|,
+# rotations preserve norms), so the softmax max-subtraction — a full lane
+# reduction + broadcast subtract over the (S, S) tile, measured ~240 us/layer
+# at JiT-B headline shape, the single largest VPU cost in this kernel — is
+# unnecessary. A defensive clip at +/-BOUNDED_LOGIT_CLIP keeps exp2 finite
+# (2^{60*log2e} ~ 2^86 << f32 max) and the denominator nonzero
+# (2^{-86} >> f32 min normal) even if learned gains grow pathologically;
+# inside the clip range the math is exactly softmax.
+BOUNDED_LOGIT_CLIP = 60.0
+
+
+def _head_fwd(q, k, v, kv_len, scale, bounded=False):
     # Native-dtype (bf16) MXU dots with f32 accumulation, f32 softmax on the
     # VPU — the flash kernel's convention. Casting q/k to f32 first would
     # quarter the MXU rate for zero useful precision (inputs are bf16).
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (Sq, Sk) f32
+    ) * (scale * LOG2E)  # (Sq, Sk) f32, exp2 domain
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    return jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
+    if bounded:
+        lim = BOUNDED_LOGIT_CLIP * LOG2E
+        e = jnp.exp2(jnp.clip(s, -lim, lim))
+        e = jnp.where(col < kv_len, e, 0.0)
+    else:
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp2(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    # lazy normalization: divide the (Sq, D) output by the row sums instead
+    # of the (Sq, Sk) probability tile — Sk/D x fewer VPU divides
+    o = jax.lax.dot_general(
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    return o / denom
 
 
-def _head_bwd(q, k, v, do, kv_len, scale):
+def _head_bwd(q, k, v, do, kv_len, scale, bounded=False):
     """One head's full attention backward, (S, S) resident in registers/VMEM.
     Probability/delta math in f32; every MXU dot takes native-dtype operands
     with f32 accumulation (p/ds cast back down like the flash kernel's
-    ``p.astype(v.dtype)`` / ``ds.astype(k.dtype)``)."""
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, NEG_INF)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
+    ``p.astype(v.dtype)`` / ``ds.astype(k.dtype)``).
+
+    Unlike the forward, this keeps the materialized p = e / denom tile:
+    factoring 1/denom onto the (S, D) dot operands (lazy normalization) was
+    measured SLOWER here (+90 us/layer at the JiT-B headline shape) — the
+    extra per-operand casts and row-scales outweigh the saved (S, S) divide
+    when five dots already consume the tile. ``bounded`` skips the
+    max-subtraction exactly as in the forward (p is exact softmax inside
+    BOUNDED_LOGIT_CLIP; f32 headroom: e <= 2^87, denom <= S * 2^87 << 2^128)."""
+    if bounded:
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * LOG2E)
+        lim = BOUNDED_LOGIT_CLIP * LOG2E
+        e = jnp.exp2(jnp.clip(s, -lim, lim))
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        e = jnp.where(col < kv_len, e, 0.0)
+    else:
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     p = e / denom  # (Sq, Sk) f32
 
@@ -184,7 +225,7 @@ def _run_bwd_ah(q_bhsd, k_bhsd, v_bhsd, do_bhsd, kv_lens, scale, interpret):
 
 
 def _fwd_kernel_packed(kv_lens_ref, q_ref, k_ref, v_ref, o_ref,
-                       *, scale, heads, dim):
+                       *, scale, heads, dim, bounded):
     """Heads live as static 64/128-wide LANE slices of a (S, H*D) block —
     the one head-extraction pattern that is layout-free on both sides: the
     model's (B, S, H, D) tensors collapse to (B, S, H*D) with no data
@@ -195,19 +236,20 @@ def _fwd_kernel_packed(kv_lens_ref, q_ref, k_ref, v_ref, o_ref,
     for h in range(heads):
         sl = slice(h * dim, (h + 1) * dim)
         o = _head_fwd(q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl],
-                      kv_len, scale)
+                      kv_len, scale, bounded=bounded)
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel_packed(kv_lens_ref, q_ref, k_ref, v_ref, do_ref,
-                       dq_ref, dk_ref, dv_ref, *, scale, heads, dim):
+                       dq_ref, dk_ref, dv_ref, *, scale, heads, dim,
+                       bounded):
     b = pl.program_id(0)
     kv_len = kv_lens_ref[b]
     for h in range(heads):
         sl = slice(h * dim, (h + 1) * dim)
         dq, dk, dv = _head_bwd(
             q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl],
-            do_ref[0, :, sl], kv_len, scale,
+            do_ref[0, :, sl], kv_len, scale, bounded=bounded,
         )
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
         dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
@@ -232,21 +274,28 @@ def _prep_packed(q, k, v, kv_lens):
     return qb, kb, vb, kv_lens.astype(jnp.int32), sq, sk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5, 6, 7))
 def short_attention_packed(q, k, v, num_heads, kv_lens=None, scale=None,
-                           interpret=False):
+                           interpret=False, bounded=False):
     """(B, S, H*D) attention: zero-relayout entry for BSHD models.
 
     The caller's (B, S, H, D) q/k/v collapse to (B, S, H*D) for free (minor
     dims merge in memory order), so unlike the BHSD kernels this path never
     pays a head transpose on either side of the pallas call. kv_lens is (B,)
     suffix key padding.
+
+    ``bounded=True`` opts the forward into the no-max softmax (see
+    BOUNDED_LOGIT_CLIP): only pass it when the caller guarantees bounded
+    logits, e.g. QKNorm'd q/k. Inside the clip range the result is exactly
+    softmax; the backward always uses the max-subtracted form (correct
+    whenever nothing clips).
     """
-    out, _ = _packed_fwd(q, k, v, num_heads, kv_lens, scale, interpret)
+    out, _ = _packed_fwd(q, k, v, num_heads, kv_lens, scale, interpret,
+                         bounded)
     return out
 
 
-def _packed_fwd(q, k, v, num_heads, kv_lens, scale, interpret):
+def _packed_fwd(q, k, v, num_heads, kv_lens, scale, interpret, bounded):
     dim = q.shape[-1] // num_heads
     if scale is None:
         scale = dim**-0.5
@@ -257,7 +306,8 @@ def _packed_fwd(q, k, v, num_heads, kv_lens, scale, interpret):
     kspec = pl.BlockSpec((1, sk_p, e), lambda b: (b, 0, 0))
     out = pl.pallas_call(
         functools.partial(
-            _fwd_kernel_packed, scale=scale, heads=num_heads, dim=dim
+            _fwd_kernel_packed, scale=scale, heads=num_heads, dim=dim,
+            bounded=bounded,
         ),
         grid=(batch,),
         in_specs=[
@@ -271,7 +321,7 @@ def _packed_fwd(q, k, v, num_heads, kv_lens, scale, interpret):
     return out[:, :sq], (q, k, v, kv_lens)
 
 
-def _packed_bwd(num_heads, scale, interpret, res, dout):
+def _packed_bwd(num_heads, scale, interpret, bounded, res, dout):
     q, k, v, kv_lens = res
     dim = q.shape[-1] // num_heads
     if scale is None:
@@ -284,7 +334,8 @@ def _packed_bwd(num_heads, scale, interpret, res, dout):
     kspec = pl.BlockSpec((1, sk_p, e), lambda b: (b, 0, 0))
     dq, dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_kernel_packed, scale=scale, heads=num_heads, dim=dim
+            _bwd_kernel_packed, scale=scale, heads=num_heads, dim=dim,
+            bounded=bounded,
         ),
         grid=(batch,),
         in_specs=[
@@ -303,8 +354,8 @@ def _packed_bwd(num_heads, scale, interpret, res, dout):
 
 
 short_attention_packed.defvjp(
-    lambda q, k, v, num_heads, kv_lens, scale, interpret: _packed_fwd(
-        q, k, v, num_heads, kv_lens, scale, interpret
+    lambda q, k, v, num_heads, kv_lens, scale, interpret, bounded: _packed_fwd(
+        q, k, v, num_heads, kv_lens, scale, interpret, bounded
     ),
     _packed_bwd,
 )
