@@ -227,10 +227,14 @@ def apply_rope(x: jax.Array, freqs: jax.Array) -> jax.Array:
 # Dispatch switch for the packed short-sequence Pallas kernel below (A/B
 # measurement + emergency fallback to the XLA remat path).
 USE_PACKED_SHORT_ATTENTION = True
-# Trace-time inference switch: the packed kernel's win is fwd+bwd (the
-# custom-vjp recompute is what it amortizes); FORWARD-ONLY the XLA path is
-# ~2% faster (sampler A/B on v5e, 2026-08-17: packed 50.2/50.9 vs XLA
-# 52.3/51.5 steps/s at S=298). Samplers trace under this context manager.
+# Trace-time inference switch. History: with the max-subtracted softmax the
+# packed kernel's win was fwd+bwd only (XLA ~2% faster forward-only;
+# sampler A/B 2026-08-17: packed 50.2/50.9 vs XLA 52.3/51.5 steps/s) and
+# samplers traced under this context manager. The bounded-logits softmax
+# (see ops/short_attention.BOUNDED_LOGIT_CLIP) cut the kernel's forward
+# ~20%, flipping the sampler A/B (2026-08-18: packed 55.2/55.6 vs XLA
+# 52.9/52.3 steps/s, +5.5%), so samplers now use the packed kernel too and
+# this switch remains only as an escape hatch / for A/B runs.
 _PACKED_DISABLED = False
 
 

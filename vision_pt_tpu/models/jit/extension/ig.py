@@ -15,8 +15,7 @@ from PIL import Image
 
 from ....utils import PromptType, tensor as tensor_utils
 from ..config import DenoiserConfig, JiTConfig
-from ..denoiser import (BottleneckFinalLayer, FinalLayer, JiT,
-                         packed_attention_disabled)
+from ..denoiser import BottleneckFinalLayer, FinalLayer, JiT
 from ..pipeline import JiTModel
 
 
@@ -104,7 +103,6 @@ class IGGenerateMixin:
     """Shared generate() for guidance models whose denoiser returns
     (pred, weak_pred) (reference ``ig.py:258-377``)."""
 
-    @packed_attention_disabled()
     def generate(
         self,
         prompt: PromptType,

@@ -22,7 +22,7 @@ from ...utils.state_dict import flatten_state, load_flat_state
 from .class_encoder import ClassEncoder
 from .config import ClassContextConfig, JiTConfig
 from .convert import nnx_to_torch_with_conv_shape, torch_to_nnx
-from .denoiser import Denoiser, JiT, packed_attention_disabled
+from .denoiser import Denoiser, JiT
 from .text_encoder import TextEncoder
 
 
@@ -332,7 +332,6 @@ class JiTModel:
 
     # ---------------------------------------------------------- generate
 
-    @packed_attention_disabled()
     def generate(
         self,
         prompt: PromptType,
