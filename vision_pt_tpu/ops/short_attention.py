@@ -284,11 +284,11 @@ def short_attention_packed(q, k, v, num_heads, kv_lens=None, scale=None,
     pays a head transpose on either side of the pallas call. kv_lens is (B,)
     suffix key padding.
 
-    ``bounded=True`` opts the forward into the no-max softmax (see
-    BOUNDED_LOGIT_CLIP): only pass it when the caller guarantees bounded
-    logits, e.g. QKNorm'd q/k. Inside the clip range the result is exactly
-    softmax; the backward always uses the max-subtracted form (correct
-    whenever nothing clips).
+    ``bounded=True`` opts both the forward and the backward into the no-max
+    softmax (see BOUNDED_LOGIT_CLIP): only pass it when the caller guarantees
+    bounded logits, e.g. QKNorm'd q/k. Inside the clip range the result is
+    exactly softmax, and the recomputed p in the backward matches the forward
+    bit-for-bit (both take the same clipped-exp2 path).
     """
     out, _ = _packed_fwd(q, k, v, num_heads, kv_lens, scale, interpret,
                          bounded)
