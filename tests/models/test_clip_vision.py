@@ -61,13 +61,17 @@ def test_parity_with_hf_clip_vision():
     with torch.no_grad():
         ref = tmodel(torch.from_numpy(pixels), output_hidden_states=True)
 
-    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+    from vision_pt_tpu.ops.attention import (
+        get_default_attention_dtype,
+        set_default_attention_dtype,
+    )
 
+    _prev_attn_dtype = get_default_attention_dtype()
     set_default_attention_dtype(None)
     try:
         out = jmodel(jnp.asarray(pixels.transpose(0, 2, 3, 1)))
     finally:
-        set_default_attention_dtype(jnp.bfloat16)
+        set_default_attention_dtype(_prev_attn_dtype)
 
     np.testing.assert_allclose(
         np.asarray(out.last_hidden_state),

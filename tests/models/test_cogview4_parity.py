@@ -3,6 +3,8 @@ converted weights (same method as the JiT/SDXL parity tests; reference
 ``src/models/cogview4/denoiser.py:526-667``)."""
 
 import numpy as np
+
+from tests.parity_record import record
 import pytest
 
 from tests.reference_stubs import install_stubs, reference_available
@@ -44,7 +46,10 @@ def test_cogview4_dit_forward_parity_with_reference():
 
     from vision_pt_tpu.models.cogview4.config import DenoiserConfig
     from vision_pt_tpu.models.cogview4.denoiser import Denoiser as JaxDenoiser
-    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+    from vision_pt_tpu.ops.attention import (
+        get_default_attention_dtype,
+        set_default_attention_dtype,
+    )
     from vision_pt_tpu.utils.state_dict import load_flat_state
 
     tmodel = TorchDenoiser(TorchDenoiserConfig(**TINY, attention_backend="eager"))
@@ -70,6 +75,7 @@ def test_cogview4_dit_forward_parity_with_reference():
             crop_coords=torch.from_numpy(crop),
         ).numpy()
 
+    _prev_attn_dtype = get_default_attention_dtype()
     set_default_attention_dtype(None)  # fp32 math for the parity run
     try:
         jout = jmodel(
@@ -81,9 +87,10 @@ def test_cogview4_dit_forward_parity_with_reference():
             jnp.asarray(crop),
         )
     finally:
-        set_default_attention_dtype(jnp.bfloat16)
+        set_default_attention_dtype(_prev_attn_dtype)
     jout_nchw = np.asarray(jout).transpose(0, 3, 1, 2)
     mse = np.mean((jout_nchw - tout) ** 2)
     psnr = 20 * np.log10(tout.max() - tout.min()) - 10 * np.log10(mse)
     print(f"cogview4 dit parity PSNR: {psnr:.1f} dB")
+    record("cogview4_forward_psnr", psnr)
     assert psnr > 60.0, f"PSNR {psnr:.1f} dB below parity threshold"

@@ -174,7 +174,10 @@ def test_uvit_parity_with_reference():
     tden.scaled_dot_product_attention = fp32_attn
 
     from vision_pt_tpu.models.jit.convert import torch_to_nnx
-    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+    from vision_pt_tpu.ops.attention import (
+        get_default_attention_dtype,
+        set_default_attention_dtype,
+    )
     from vision_pt_tpu.utils.state_dict import load_flat_state
 
     kw = {**TINY, "depth": 2, "num_blocks": 6}
@@ -203,6 +206,7 @@ def test_uvit_parity_with_reference():
             crop_coords=torch.from_numpy(crop),
             context_mask=torch.from_numpy(mask),
         ).numpy()
+    _prev_attn_dtype = get_default_attention_dtype()
     set_default_attention_dtype(None)
     try:
         jout = jmodel(
@@ -211,7 +215,7 @@ def test_uvit_parity_with_reference():
             jnp.asarray(crop), jnp.asarray(mask),
         )
     finally:
-        set_default_attention_dtype(jnp.bfloat16)
+        set_default_attention_dtype(_prev_attn_dtype)
     jout_nchw = np.asarray(jout).transpose(0, 3, 1, 2)
     mse = np.mean((jout_nchw - tout) ** 2)
     psnr = 20 * np.log10(tout.max() - tout.min()) - 10 * np.log10(mse)

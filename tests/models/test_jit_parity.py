@@ -12,6 +12,8 @@ import sys
 from unittest.mock import MagicMock
 
 import numpy as np
+
+from tests.parity_record import record
 import pytest
 
 REFERENCE = "/root/reference"
@@ -74,7 +76,10 @@ def test_forward_parity_with_reference(reference_modules, overrides):
     from vision_pt_tpu.models.jit.config import DenoiserConfig
     from vision_pt_tpu.models.jit.convert import torch_to_nnx
     from vision_pt_tpu.models.jit.denoiser import Denoiser as JaxDenoiser
-    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+    from vision_pt_tpu.ops.attention import (
+        get_default_attention_dtype,
+        set_default_attention_dtype,
+    )
     from vision_pt_tpu.utils.state_dict import load_flat_state
 
     kw = {**TINY_KW, **overrides}
@@ -110,6 +115,7 @@ def test_forward_parity_with_reference(reference_modules, overrides):
             context_mask=torch.from_numpy(mask),
         ).numpy()
 
+    _prev_attn_dtype = get_default_attention_dtype()
     set_default_attention_dtype(None)
     try:
         jout = jmodel(
@@ -122,11 +128,12 @@ def test_forward_parity_with_reference(reference_modules, overrides):
             jnp.asarray(mask),
         )
     finally:
-        set_default_attention_dtype(jnp.bfloat16)
+        set_default_attention_dtype(_prev_attn_dtype)
     jout_nchw = np.asarray(jout).transpose(0, 3, 1, 2)
 
     mse = np.mean((jout_nchw - tout) ** 2)
     psnr = 20 * np.log10(tout.max() - tout.min()) - 10 * np.log10(mse)
+    record("jit_forward_psnr", psnr)
     assert psnr > 60.0, f"PSNR {psnr:.1f} dB below parity threshold"
 
 
@@ -147,7 +154,10 @@ def test_training_loss_curve_parity_with_reference(reference_modules):
     from vision_pt_tpu.models.jit.config import DenoiserConfig
     from vision_pt_tpu.models.jit.convert import torch_to_nnx
     from vision_pt_tpu.models.jit.denoiser import Denoiser as JaxDenoiser
-    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+    from vision_pt_tpu.ops.attention import (
+        get_default_attention_dtype,
+        set_default_attention_dtype,
+    )
     from vision_pt_tpu.utils.state_dict import load_flat_state
 
     torch.manual_seed(0)
@@ -210,6 +220,7 @@ def test_training_loss_curve_parity_with_reference(reference_modules):
 
     t_losses, j_losses = [], []
     fixed = step_data()  # one batch reused -> the loss actually descends
+    _prev_attn_dtype = get_default_attention_dtype()
     set_default_attention_dtype(None)
     try:
         for _ in range(steps):
@@ -242,7 +253,7 @@ def test_training_loss_curve_parity_with_reference(reference_modules):
             )
             j_losses.append(float(jl))
     finally:
-        set_default_attention_dtype(jnp.bfloat16)
+        set_default_attention_dtype(_prev_attn_dtype)
 
     np.testing.assert_allclose(j_losses, t_losses, rtol=2e-3, atol=2e-4)
     assert t_losses[-1] < t_losses[0]  # both actually trained

@@ -22,6 +22,8 @@ import json
 import types
 
 import numpy as np
+
+from tests.parity_record import record
 import pytest
 
 from tests.reference_stubs import install_stubs, reference_available
@@ -66,7 +68,10 @@ def test_jit_euler_sampler_parity(tmp_path):
         JiTConfig,
         JiTModel,
     )
-    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+    from vision_pt_tpu.ops.attention import (
+        get_default_attention_dtype,
+        set_default_attention_dtype,
+    )
 
     label2id = tmp_path / "label2id.json"
     label2id.write_text(json.dumps({f"c{i}": i for i in range(8)}))
@@ -126,6 +131,7 @@ def test_jit_euler_sampler_parity(tmp_path):
         device=torch.device("cpu"),
     ).numpy()
 
+    _prev_attn_dtype = get_default_attention_dtype()
     set_default_attention_dtype(None)
     try:
         ours = np.asarray(
@@ -135,10 +141,11 @@ def test_jit_euler_sampler_parity(tmp_path):
             )
         ).transpose(0, 3, 1, 2)
     finally:
-        set_default_attention_dtype(jnp.bfloat16)
+        set_default_attention_dtype(_prev_attn_dtype)
 
     psnr = _psnr(ours, theirs)
     print(f"JiT Euler sampler parity: {psnr:.1f} dB")
+    record("jit_euler_sampler_psnr", psnr)
     assert psnr >= 40.0, f"sampler PSNR {psnr:.1f} dB < 40"
 
 
@@ -166,7 +173,10 @@ def test_sdxl_euler_ancestral_sampler_parity(tmp_path, monkeypatch):
     from vision_pt_tpu.models.sdxl.convert import unet_torch_to_nnx
     from vision_pt_tpu.models.sdxl.pipeline import SDXLModel
     from vision_pt_tpu.models.sdxl.scheduler import Scheduler as JaxScheduler
-    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+    from vision_pt_tpu.ops.attention import (
+        get_default_attention_dtype,
+        set_default_attention_dtype,
+    )
     from vision_pt_tpu.utils.state_dict import load_flat_state
 
     # the reference UNet hardcodes the [1, 2, 10] stage layout (see
@@ -263,6 +273,7 @@ def test_sdxl_euler_ancestral_sampler_parity(tmp_path, monkeypatch):
 
     jmodel.scheduler = NoiseFromFile(step_noises)
 
+    _prev_attn_dtype = get_default_attention_dtype()
     set_default_attention_dtype(None)
     try:
         ours = np.asarray(
@@ -275,8 +286,9 @@ def test_sdxl_euler_ancestral_sampler_parity(tmp_path, monkeypatch):
             )
         ).transpose(0, 3, 1, 2)
     finally:
-        set_default_attention_dtype(jnp.bfloat16)
+        set_default_attention_dtype(_prev_attn_dtype)
 
     psnr = _psnr(ours, theirs)
     print(f"SDXL Euler-ancestral sampler parity: {psnr:.1f} dB")
+    record("sdxl_euler_ancestral_sampler_psnr", psnr)
     assert psnr >= 40.0, f"sampler PSNR {psnr:.1f} dB < 40"

@@ -2,6 +2,8 @@
 weights (same method as the JiT parity tests)."""
 
 import numpy as np
+
+from tests.parity_record import record
 import pytest
 
 from tests.reference_stubs import install_stubs, reference_available
@@ -32,7 +34,10 @@ def test_unet_forward_parity_with_reference():
     from vision_pt_tpu.models.sdxl.config import DenoiserConfig
     from vision_pt_tpu.models.sdxl.convert import unet_torch_to_nnx
     from vision_pt_tpu.models.sdxl.denoiser import Denoiser as JaxDenoiser
-    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+    from vision_pt_tpu.ops.attention import (
+        get_default_attention_dtype,
+        set_default_attention_dtype,
+    )
     from vision_pt_tpu.utils.state_dict import load_flat_state
 
     # NOTE: the reference UNet does not forward num_transformers_per_block to
@@ -74,6 +79,7 @@ def test_unet_forward_parity_with_reference():
             crop_coords_top_left=torch.from_numpy(crop),
         ).numpy()
 
+    _prev_attn_dtype = get_default_attention_dtype()
     set_default_attention_dtype(None)
     try:
         jout = jmodel(
@@ -86,8 +92,9 @@ def test_unet_forward_parity_with_reference():
             jnp.asarray(crop),
         )
     finally:
-        set_default_attention_dtype(jnp.bfloat16)
+        set_default_attention_dtype(_prev_attn_dtype)
     jout_nchw = np.asarray(jout).transpose(0, 3, 1, 2)
     mse = np.mean((jout_nchw - tout) ** 2)
     psnr = 20 * np.log10(tout.max() - tout.min()) - 10 * np.log10(mse)
+    record("sdxl_unet_forward_psnr", psnr)
     assert psnr > 60.0, f"PSNR {psnr:.1f} dB below parity threshold"

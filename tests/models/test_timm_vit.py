@@ -94,20 +94,20 @@ def _torch_vit_forward(sd, pixels_nhwc):
 
 def test_timm_vit_parity_with_torch(timm_ckpt):
     from vision_pt_tpu.models.timm_vit import TimmViT
-    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+    from vision_pt_tpu.ops.attention import attention_dtype
 
     path, sd = timm_ckpt
-    set_default_attention_dtype(None)  # fp32 attention for exact parity
-    vit = TimmViT.from_local(path, num_heads=HEADS)
-    assert vit.config.embed_dim == DIM
-    assert vit.config.depth == DEPTH
-    assert vit.config.patch_size == PATCH
-    assert vit.config.img_size == IMG
+    with attention_dtype(None):  # fp32 attention for exact parity
+        vit = TimmViT.from_local(path, num_heads=HEADS)
+        assert vit.config.embed_dim == DIM
+        assert vit.config.depth == DEPTH
+        assert vit.config.patch_size == PATCH
+        assert vit.config.img_size == IMG
 
-    pixels = np.random.default_rng(1).standard_normal(
-        (2, IMG, IMG, 3)
-    ).astype(np.float32)
-    ours = np.asarray(vit(jnp.asarray(pixels)).pooler_output)
+        pixels = np.random.default_rng(1).standard_normal(
+            (2, IMG, IMG, 3)
+        ).astype(np.float32)
+        ours = np.asarray(vit(jnp.asarray(pixels)).pooler_output)
     theirs = _torch_vit_forward(sd, pixels)
     psnr = 10 * np.log10(
         (theirs.max() - theirs.min()) ** 2
@@ -160,17 +160,17 @@ def test_auto_image_encoder_plumbs_num_heads(timm_ckpt):
     silently wrong attention groupings)."""
     from vision_pt_tpu.adapters.ip_adapter import ImageEncoderConfig
     from vision_pt_tpu.models.auto import AutoImageEncoder
-    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+    from vision_pt_tpu.ops.attention import attention_dtype
 
     path, sd = timm_ckpt
-    set_default_attention_dtype(None)  # fp32 attention for exact parity
-    enc = AutoImageEncoder(
-        ImageEncoderConfig(type="timm", weights_path=path, feature_dim=DIM,
-                           num_heads=HEADS)
-    )
-    pixels = np.random.default_rng(5).standard_normal(
-        (2, IMG, IMG, 3)).astype(np.float32)
-    got = np.asarray(enc(jnp.asarray(pixels)))
+    with attention_dtype(None):  # fp32 attention for exact parity
+        enc = AutoImageEncoder(
+            ImageEncoderConfig(type="timm", weights_path=path, feature_dim=DIM,
+                               num_heads=HEADS)
+        )
+        pixels = np.random.default_rng(5).standard_normal(
+            (2, IMG, IMG, 3)).astype(np.float32)
+        got = np.asarray(enc(jnp.asarray(pixels)))
     want = _torch_vit_forward(sd, pixels)  # oracle groups HEADS heads
     np.testing.assert_allclose(got, want, atol=2e-4)
 

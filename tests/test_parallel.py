@@ -96,3 +96,121 @@ def test_tp_matmul_matches_replicated():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(expected), atol=1e-5
     )
+
+
+def _expected_tp_map(root) -> dict[str, str]:
+    """Type-derived TP intent: walk the module tree and mark, per known
+    attention/MLP class, which child Linears are column/row targets. This is
+    independent of the path-rule matcher in mesh.py, so comparing the two
+    catches both missed targets and unintended rule hits (VERDICT r3 #6)."""
+    from vision_pt_tpu.models.cogview4 import denoiser as cog_d
+    from vision_pt_tpu.models.jit import denoiser as jit_d
+    from vision_pt_tpu.models.sdxl import denoiser as sdxl_d
+
+    expected: dict[str, str] = {}
+    for path, mod in nnx.iter_graph(root):
+        if not isinstance(mod, nnx.Module):
+            continue
+        prefix = tuple(str(p) for p in path)
+
+        def mark(attr: str, kind: str, _mod=mod, _prefix=prefix):
+            sub = getattr(_mod, attr, None)
+            if sub is None:
+                return
+            for pname in ("kernel", "bias"):
+                if getattr(sub, pname, None) is not None:
+                    expected[".".join(_prefix + (attr, pname))] = kind
+
+        if isinstance(mod, (sdxl_d.SelfAttention, sdxl_d.CrossAttention,
+                            cog_d.SelfAttention)):
+            mark("to_q", "column")
+            mark("to_k", "column")
+            mark("to_v", "column")
+            mark("to_out", "row")
+        elif isinstance(mod, jit_d.Attention):  # PopeAttention subclasses it
+            mark("to_q", "column")
+            mark("to_k", "column")
+            mark("to_v", "column")
+            mark("to_o", "row")
+        elif isinstance(mod, sdxl_d.GeGLU):
+            mark("proj", "column")
+        elif isinstance(mod, sdxl_d.FeedForward):
+            mark("out", "row")
+        elif isinstance(mod, cog_d.FeedForward):
+            mark("proj", "column")
+            mark("out", "row")
+        elif isinstance(mod, jit_d.SwiGLU):
+            mark("w_1", "column")
+            mark("w_2", "column")
+            mark("w_3", "row")
+    return expected
+
+
+def _assert_tp_rules_cover(model, min_column: int, min_row: int):
+    from vision_pt_tpu.parallel.mesh import tp_classification
+
+    expected = _expected_tp_map(model)
+    actual = {}
+    for path_tuple, var in nnx.to_flat_state(nnx.state(model, nnx.Param)):
+        path = ".".join(str(p) for p in path_tuple)
+        kind = tp_classification(path)
+        if kind is not None:
+            actual[path] = kind
+    assert actual == expected, (
+        "TP rule mismatch:\n"
+        f"unintended: {sorted(set(actual) - set(expected))[:10]}\n"
+        f"missed: {sorted(set(expected) - set(actual))[:10]}\n"
+        f"reclassified: "
+        f"{ {k: (actual[k], expected[k]) for k in actual if k in expected and actual[k] != expected[k]} }"
+    )
+    n_col = sum(1 for v in actual.values() if v == "column")
+    n_row = sum(1 for v in actual.values() if v == "row")
+    assert n_col >= min_column and n_row >= min_row, (n_col, n_row)
+
+
+def test_tp_rules_exact_match_jit_tree():
+    from vision_pt_tpu.models.jit.config import DenoiserConfig
+    from vision_pt_tpu.models.jit.denoiser import Denoiser
+
+    model = Denoiser(
+        DenoiserConfig(
+            patch_size=8, hidden_size=64, depth=3, num_heads=2,
+            bottleneck_dim=16, context_dim=32, context_start_block=1,
+            rope_axes_dims=[16, 8, 8], num_time_tokens=2,
+        ),
+        rngs=nnx.Rngs(0),
+    )
+    # 3 blocks x (q,k,v kernels+biases) + final-layer SwiGLU w_1/w_2
+    _assert_tp_rules_cover(model, min_column=3 * 6 + 2, min_row=3 * 3 + 1)
+
+
+def test_tp_rules_exact_match_sdxl_unet_tree():
+    from vision_pt_tpu.models.sdxl.config import DenoiserConfig
+    from vision_pt_tpu.models.sdxl.denoiser import Denoiser
+
+    model = Denoiser(
+        DenoiserConfig(
+            hidden_dim=32, block_out_channels=[32, 32, 64],
+            num_transformers_per_block=[1, 2, 10],
+            num_head_channels=16, context_dim=32, layers_per_block=2,
+        ),
+        rngs=nnx.Rngs(0),
+    )
+    # every TransformerBlock: attn1 (3 no-bias kernels) + attn2 (3) + to_out
+    # (kernel+bias) x2 + geglu.proj (kernel+bias) + ff.out (kernel+bias)
+    _assert_tp_rules_cover(model, min_column=20, min_row=10)
+
+
+def test_tp_rules_exact_match_cogview4_tree():
+    from vision_pt_tpu.models.cogview4.config import DenoiserConfig
+    from vision_pt_tpu.models.cogview4.denoiser import Denoiser
+
+    model = Denoiser(
+        DenoiserConfig(
+            patch_size=2, in_channels=4, out_channels=4, num_layers=2,
+            attention_head_dim=16, num_attention_heads=4, text_embed_dim=32,
+            time_embed_dim=32, condition_dim=8, rope_axes_dim=[16, 16],
+        ),
+        rngs=nnx.Rngs(0),
+    )
+    _assert_tp_rules_cover(model, min_column=2 * 4, min_row=2 * 2)

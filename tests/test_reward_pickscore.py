@@ -80,12 +80,16 @@ def test_pickscore_from_local_matches_transformers(tiny_clip_dir):
     import torch
 
     path, hf_model = tiny_clip_dir
-    from vision_pt_tpu.ops.attention import set_default_attention_dtype
+    from vision_pt_tpu.ops.attention import (
+        get_default_attention_dtype,
+        set_default_attention_dtype,
+    )
     from vision_pt_tpu.reward.pickscore import PickScoreModel
 
     model = PickScoreModel.from_local(path)
     # keep attention fp32 for exact parity (the default bf16 auto-cast is
     # reference-faithful but adds ~1e-3 noise)
+    _prev_attn_dtype = get_default_attention_dtype()
     set_default_attention_dtype(None)
 
     rng = np.random.default_rng(0)
@@ -125,7 +129,7 @@ def test_pickscore_from_local_matches_transformers(tiny_clip_dir):
         assert probs.shape == (3,)
         np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-5)
     finally:
-        set_default_attention_dtype(jnp.bfloat16)
+        set_default_attention_dtype(_prev_attn_dtype)
 
 
 @pytest.mark.slow

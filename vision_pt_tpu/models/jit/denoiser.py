@@ -301,6 +301,23 @@ class Attention(nnx.Module):
         b, s, _ = x.shape
         return x.reshape(b, s, self.num_heads, self.head_dim)
 
+    def qk_logit_bound(self) -> jax.Array | None:
+        """Provable upper bound on |attention logit| under QKNorm:
+        sqrt(D) * max|g_q| * max|g_k| (RMS-normalized rows have L2 norm
+        sqrt(D); RoPE preserves norms). The packed kernel's no-max softmax
+        is exact while this stays <= BOUNDED_LOGIT_CLIP (60); monitor it
+        during training to see clip activation coming. None without QKNorm
+        or with gain-free norms."""
+        q_w = getattr(self.q_norm, "weight", None) if self.q_norm is not None else None
+        k_w = getattr(self.k_norm, "weight", None) if self.k_norm is not None else None
+        if q_w is None or k_w is None:
+            return None
+        return (
+            jnp.sqrt(jnp.float32(self.head_dim))
+            * jnp.max(jnp.abs(q_w.value.astype(jnp.float32)))
+            * jnp.max(jnp.abs(k_w.value.astype(jnp.float32)))
+        )
+
     def _project_qkv(self, hidden_states, rope_freqs):
         q = self._split_heads(self.to_q(hidden_states))
         k = self._split_heads(self.to_k(hidden_states))
@@ -343,7 +360,11 @@ class Attention(nnx.Module):
                 kv_lens,
                 # QKNorm bounds the logits (RoPE preserves norms), so the
                 # kernel may skip the softmax max-subtraction — the largest
-                # VPU cost on its (S, S) tile. See BOUNDED_LOGIT_CLIP.
+                # VPU cost on its (S, S) tile. ASSUMPTION: learned gains keep
+                # sqrt(D)*max|g_q|*max|g_k| <= BOUNDED_LOGIT_CLIP (60); at
+                # init the bound is sqrt(64) = 8 and gains would have to grow
+                # ~7.5x to clip. qk_logit_bound() computes the live bound for
+                # training-time monitoring (JiT.qk_logit_bound aggregates).
                 bounded=self.q_norm is not None,
             )
             return self.to_o(attn.astype(hidden_states.dtype))
@@ -627,6 +648,28 @@ class JiT(nnx.Module):
 
     def set_gradient_checkpointing(self, enable: bool = True):
         self.gradient_checkpointing = enable
+
+    def qk_logit_bound(self) -> jax.Array | None:
+        """Max over blocks of Attention.qk_logit_bound — the model-level
+        observable for the bounded-softmax assumption (log it periodically;
+        see ops/short_attention.BOUNDED_LOGIT_CLIP)."""
+        block_lists = [
+            getattr(self, name, None)
+            for name in ("blocks", "down_blocks", "mid_blocks", "up_blocks",
+                         "out_blocks")
+        ]
+        bounds = [
+            b for b in (
+                blk.attn.qk_logit_bound()
+                for blocks in block_lists if blocks is not None
+                for blk in blocks
+                if hasattr(blk, "attn") and hasattr(blk.attn, "qk_logit_bound")
+            )
+            if b is not None
+        ]
+        if not bounds:
+            return None
+        return jnp.max(jnp.stack(bounds))
 
     # -- static (trace-time) helpers -------------------------------------
 

@@ -11,6 +11,7 @@ Layout: **(B, S, H, D)** throughout — no BHSD<->BSHD permutes on the hot path.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Literal
 
@@ -38,6 +39,18 @@ def set_default_attention_dtype(dtype: jnp.dtype | None) -> None:
 
 def get_default_attention_dtype() -> jnp.dtype | None:
     return _DEFAULT_ATTENTION_DTYPE
+
+
+@contextlib.contextmanager
+def attention_dtype(dtype: jnp.dtype | None):
+    """Scoped override of the default attention compute dtype, restoring the
+    value that was set before entry (parity tests run fp32 inside this)."""
+    prev = get_default_attention_dtype()
+    set_default_attention_dtype(dtype)
+    try:
+        yield
+    finally:
+        set_default_attention_dtype(prev)
 
 
 def _on_tpu() -> bool:

@@ -91,7 +91,10 @@ def _head_fwd(q, k, v, kv_len, scale, bounded=False):
         s = jnp.where(col < kv_len, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp2(s - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
+    # kv_len == 0 masks every e to 0: clamp so the row degrades to a finite
+    # zero output instead of 0/0 NaN (the unbounded path's exp2(s - m) keeps
+    # denom >= 1 by construction, but the bounded path has no such floor)
+    denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 2.0**-100)
     # lazy normalization: divide the (Sq, D) output by the row sums instead
     # of the (Sq, Sk) probability tile — Sk/D x fewer VPU divides
     o = jax.lax.dot_general(
@@ -132,7 +135,8 @@ def _head_bwd(q, k, v, do, kv_len, scale, bounded=False):
         s = jnp.where(col < kv_len, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
+    # same kv_len == 0 floor as the forward (zero grads, not NaN)
+    denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 2.0**-100)
     p = e / denom  # (Sq, Sk) f32
 
     dv = jax.lax.dot_general(  # dv = p^T @ do

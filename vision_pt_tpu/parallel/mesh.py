@@ -91,17 +91,51 @@ def fsdp_partition_spec(
 # (attention out / MLP down) shard the INPUT features; GSPMD then inserts one
 # all-reduce after each row-parallel matmul. flax Linear kernels are
 # (in_features, out_features).
-_TP_COLUMN_NAMES = (
-    "to_q", "to_k", "to_v", "w_1", "w_2",  # JiT attention + SwiGLU up/gate
-    "q_proj", "k_proj", "v_proj", "gate_up_proj",  # decoder LM
-    "fc1", "geglu",  # CLIP MLP / SDXL GeGLU
+#
+# Rules are EXACT path-component sequences (the dotted nnx path split on
+# "."), not substrings: ("out",) would never match "out_conv" or "dropout",
+# and generic names are disambiguated by their parent component
+# (("ff", "out") matches the SDXL/CogView4 FeedForward down-projection only).
+# tests/test_parallel.py asserts the exact matched-key set per model tree.
+_TP_COLUMN_RULES: tuple[tuple[str, ...], ...] = (
+    ("to_q",), ("to_k",), ("to_v",),       # JiT / SDXL / CogView4 attention
+    ("w_1",), ("w_2",),                     # JiT SwiGLU up + gate
+    ("q_proj",), ("k_proj",), ("v_proj",), ("gate_up_proj",),  # decoder LM
+    ("fc1",),                               # CLIP MLP up
+    ("geglu", "proj"),                      # SDXL GeGLU fused up+gate
+    ("ff", "proj"),                         # CogView4 MLP up
 )
-_TP_ROW_NAMES = (
-    "to_o", "w_3",  # JiT
-    "o_proj", "down_proj",  # decoder LM
-    "fc2", ".out.",  # CLIP / SDXL FF down
-    "to_out",
+_TP_ROW_RULES: tuple[tuple[str, ...], ...] = (
+    ("to_o",), ("w_3",),                    # JiT attention out / SwiGLU down
+    ("o_proj",), ("down_proj",),            # decoder LM
+    ("fc2",),                               # CLIP MLP down
+    ("to_out",),                            # SDXL / CogView4 attention out
+    ("ff", "out",),                         # SDXL / CogView4 FF down
 )
+
+
+def _match_rules(components: tuple[str, ...],
+                 rules: tuple[tuple[str, ...], ...]) -> bool:
+    for rule in rules:
+        w = len(rule)
+        if any(components[i:i + w] == rule
+               for i in range(len(components) - w + 1)):
+            return True
+    return False
+
+
+def tp_classification(path: str) -> str | None:
+    """"column" / "row" / None for a param path — the rule match alone,
+    independent of shapes or mesh (exposed so tests can assert the exact
+    matched sets over full model trees)."""
+    components = tuple(path.split("."))
+    if components and components[-1] in ("kernel", "bias"):
+        components = components[:-1]
+    if _match_rules(components, _TP_COLUMN_RULES):
+        return "column"
+    if _match_rules(components, _TP_ROW_RULES):
+        return "row"
+    return None
 
 
 def tensor_partition_spec(path: str, shape: tuple[int, ...], mesh: Mesh,
@@ -116,15 +150,14 @@ def tensor_partition_spec(path: str, shape: tuple[int, ...], mesh: Mesh,
     is_bias = path.endswith(".bias")
     if not (is_kernel or is_bias):
         return None
-    column = any(n in path for n in _TP_COLUMN_NAMES)
-    row = any(n in path for n in _TP_ROW_NAMES)
-    if column and shape[-1] % size == 0:
+    kind = tp_classification(path)
+    if kind == "column" and shape[-1] % size == 0:
         spec: list[Any] = [None] * len(shape)
         spec[-1] = axis
         return P(*spec)
-    if row and is_kernel and len(shape) == 2 and shape[0] % size == 0:
+    if kind == "row" and is_kernel and len(shape) == 2 and shape[0] % size == 0:
         return P(axis, None)
-    if row and is_bias:
+    if kind == "row" and is_bias:
         return P()  # row-parallel bias is added after the all-reduce
     return None
 

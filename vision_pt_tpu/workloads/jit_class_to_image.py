@@ -176,7 +176,14 @@ class JiTForClassToImageTraining(ModelForTraining):
             context_mask=batch["context_mask"],
         )
         l2_loss = self._treat_loss(model_pred, noisy, images, noise, timesteps)
-        return l2_loss, {"l2_loss": l2_loss}
+        metrics = {"l2_loss": l2_loss}
+        # observability for the packed kernel's no-max softmax: the bound
+        # must stay <= BOUNDED_LOGIT_CLIP (60) for it to be exact softmax
+        # (param-only, negligible cost inside the jitted step)
+        bound = trainable.denoiser.qk_logit_bound()
+        if bound is not None:
+            metrics["qk_logit_bound"] = bound
+        return l2_loss, metrics
 
     # ------------------------------------------------------------ preview
 
