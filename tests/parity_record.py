@@ -28,7 +28,7 @@ def record(key: str, value: float, unit: str = "dB") -> None:
             with open(_PATH) as f:
                 data = json.load(f)
         data[key] = {
-            "value": round(float(value), 2),
+            "value": float(f"{float(value):.4g}"),  # keep sig figs for tiny errs
             "unit": unit,
             "at": time.strftime("%Y-%m-%d"),
         }
