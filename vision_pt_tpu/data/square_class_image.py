@@ -173,3 +173,35 @@ class SyntheticClassImageDatasetConfig(BaseModel):
 
     def label2id(self) -> dict[str, int]:
         return {f"c{i}": i for i in range(self.num_classes)}
+
+
+class SyntheticMultiResolutionDatasetConfig(BaseModel):
+    """Hermetic multi-bucket dataset: one synthetic class-image bucket per
+    resolution, concatenated like the reference's ARB stream
+    (``src/dataset/bucket.py:95-121`` semantics — the train loop sees a
+    shuffled sequence of fixed-shape batches whose shapes vary ACROSS
+    buckets). Used by the mixed-bucket trainer tests, the multichip dryrun,
+    and the e2e pipeline bench (driver config #5 semantics)."""
+
+    num_classes: int = 4
+    items_per_bucket: int = 16
+    image_sizes: list[int] = [16, 24, 32]
+    batch_size: int = 8
+    shuffle: bool = True
+    seed: int = 0
+
+    def get_dataset(self) -> ConcatBucketDataset:
+        buckets = [
+            _SyntheticClassBucket(
+                num_classes=self.num_classes,
+                num_items=self.items_per_bucket,
+                image_size=size,
+                batch_size=self.batch_size,
+                seed=self.seed + i,
+            )
+            for i, size in enumerate(self.image_sizes)
+        ]
+        return ConcatBucketDataset(buckets, shuffle=self.shuffle, seed=self.seed)
+
+    def label2id(self) -> dict[str, int]:
+        return {f"c{i}": i for i in range(self.num_classes)}
