@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
-from ...ops.attention import _on_tpu, dot_product_attention
+from ...ops.attention import (
+    _on_tpu,
+    dot_product_attention,
+    get_sequence_parallel,
+)
 from ...ops.short_attention import MAX_SHORT_SEQ, short_attention_packed
 from ...ops.norm import get_norm_layer
 from ...ops.patch import patchify, pixel_shuffle_nhwc, unpatchify
@@ -343,6 +347,9 @@ class Attention(nnx.Module):
             and key_mask is None
             and MIN_PACKED_SEQ <= s <= MAX_SHORT_SEQ
             and _on_tpu()
+            # seq-parallel training shards S over the mesh's seq axis; the
+            # ring path (dot_product_attention backend=auto) owns dispatch
+            and get_sequence_parallel() is None
         ):
             # packed short-sequence kernel: (B, S, H, D) -> (B, S, H*D) is a
             # free reshape on both sides, so the pallas call adds no

@@ -22,7 +22,7 @@ from .flash_attention import flash_attention
 from .short_attention import MAX_SHORT_SEQ, short_attention
 
 AttentionImplementation = Literal[
-    "auto", "flash", "short", "xla", "eager", "sdpa"
+    "auto", "flash", "short", "xla", "eager", "sdpa", "ring"
 ]
 
 # fp32 q/k/v are cast to this dtype before attention (reference
@@ -58,6 +58,63 @@ def _on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------- seq parallel
+# Sequence-parallel (ring attention) dispatch: a trace-time context holding
+# (mesh, seq axis, batch axes). While active, eligible self-attention calls
+# route through ops/ring_attention.py — the sequence axis is sharded over the
+# mesh's seq axis and K/V shards rotate via ppermute over ICI. This is how
+# the seq axis of parallel/mesh.MeshConfig becomes load-bearing inside a
+# model forward (the reference has no equivalent; SURVEY §5 long-context).
+_SEQ_PARALLEL: tuple["jax.sharding.Mesh", str, tuple[str, ...]] | None = None
+# trace-time dispatch counter so tests/dryruns can assert the ring path was
+# actually taken (a silent fallback would still produce correct numbers)
+_RING_DISPATCH_COUNT = 0
+
+
+@contextlib.contextmanager
+def sequence_parallel(
+    mesh: "jax.sharding.Mesh",
+    axis_name: str = "seq",
+    batch_axes: tuple[str, ...] = ("data", "fsdp"),
+):
+    """Scoped activation of ring-attention dispatch. Trace code inside this
+    block (the context is consulted at TRACE time, so wrap the jitted call,
+    not the jit construction). No-op when the mesh's seq axis is size 1.
+
+    ``batch_axes`` names the mesh axes the batch dim is already sharded over
+    (the trainer's ``shard_batch`` layout) so the ring keeps that sharding
+    instead of gathering the batch."""
+    global _SEQ_PARALLEL
+    prev = _SEQ_PARALLEL
+    if dict(mesh.shape).get(axis_name, 1) > 1:
+        batch_axes = tuple(a for a in batch_axes if a in mesh.shape)
+        _SEQ_PARALLEL = (mesh, axis_name, batch_axes)
+    try:
+        yield
+    finally:
+        _SEQ_PARALLEL = prev
+
+
+def get_sequence_parallel():
+    """The active (mesh, axis_name, batch_axes) triple, or None."""
+    return _SEQ_PARALLEL
+
+
+def ring_dispatch_count() -> int:
+    """How many attention calls traced through the ring path so far (process-
+    global; take a before/after delta)."""
+    return _RING_DISPATCH_COUNT
+
+
+def _ring_eligible(q, k, mask, is_causal, n: int) -> bool:
+    return (
+        mask is None
+        and not is_causal
+        and q.shape[1] == k.shape[1]
+        and q.shape[1] % n == 0
+    )
 
 
 def xla_attention(
@@ -227,6 +284,35 @@ def dot_product_attention(
 
     if backend in ("eager", "sdpa"):
         backend = "xla"
+
+    sp = _SEQ_PARALLEL
+    if backend in ("auto", "ring") and sp is not None:
+        mesh, axis, batch_axes = sp
+        n = mesh.shape[axis]
+        eligible = _ring_eligible(q, k, mask, is_causal, n)
+        if backend == "ring" and not eligible:
+            raise ValueError(
+                "backend='ring' needs self-attention (Sq == Sk, divisible by "
+                f"the seq axis ({n})), no mask, non-causal; got "
+                f"Sq={q.shape[1]} Sk={k.shape[1]} mask={mask is not None} "
+                f"causal={is_causal}"
+            )
+        if eligible:
+            from .ring_attention import ring_attention_sharded
+
+            global _RING_DISPATCH_COUNT
+            _RING_DISPATCH_COUNT += 1
+            out = ring_attention_sharded(
+                q, k, v, mesh, axis, kv_lens=kv_lens, scale=scale,
+                batch_axes=batch_axes,
+            )
+            return out.astype(orig_dtype) if orig_dtype != out.dtype else out
+    elif backend == "ring":
+        raise ValueError(
+            "backend='ring' requires an active sequence_parallel(...) "
+            "context (see ops.attention.sequence_parallel)"
+        )
+
     if backend == "auto":
         on_tpu = _on_tpu() or interpret
         # flash wins on long sequences (2.36x over XLA fwd+bwd at S=4096

@@ -122,10 +122,16 @@ def ring_attention_sharded(
     axis_name: str = "seq",
     kv_lens: jax.Array | None = None,
     scale: float | None = None,
+    batch_axes: tuple[str, ...] = (),
 ) -> jax.Array:
     """shard_map wrapper: shards the sequence axis of q/k/v over
     ``mesh[axis_name]`` and runs the ring. S must divide evenly by the axis
-    size (pad the sequence and pass kv_lens otherwise)."""
+    size (pad the sequence and pass kv_lens otherwise).
+
+    ``batch_axes`` optionally keeps the batch dim sharded over those mesh
+    axes (the trainer's data x fsdp layout) instead of gathering it — each
+    (data, fsdp) coordinate then runs its own independent seq ring. Ignored
+    when the batch doesn't divide evenly (e.g. direct op-level calls)."""
     from jax.experimental.shard_map import shard_map
 
     n = mesh.shape[axis_name]
@@ -133,7 +139,14 @@ def ring_attention_sharded(
         f"sequence {q.shape[1]} not divisible by mesh axis {axis_name}={n}; "
         "pad the sequence and pass kv_lens"
     )
-    seq_spec = P(None, axis_name, None, None)
+    import numpy as _np
+
+    b_shards = int(_np.prod([mesh.shape[a] for a in batch_axes])) \
+        if batch_axes else 1
+    if b_shards > 1 and q.shape[0] % b_shards != 0:
+        batch_axes = ()
+    b_spec = tuple(batch_axes) if batch_axes else None
+    seq_spec = P(b_spec, axis_name, None, None)
 
     fn = functools.partial(ring_attention, axis_name=axis_name, scale=scale)
     if kv_lens is None:
@@ -148,7 +161,7 @@ def ring_attention_sharded(
     sharded = shard_map(
         lambda q, k, v, lens: fn(q, k, v, kv_lens=lens),
         mesh=mesh,
-        in_specs=(seq_spec, seq_spec, seq_spec, P(None)),
+        in_specs=(seq_spec, seq_spec, seq_spec, P(b_spec)),
         out_specs=seq_spec,
         check_rep=False,
     )

@@ -12,6 +12,7 @@ optimizer/step state (SURVEY §5).
 
 from __future__ import annotations
 
+import contextlib
 import time
 from typing import Any, Callable, Iterable
 
@@ -295,16 +296,29 @@ class Trainer:
         self._jit_train_step = train_step_compat
         self._jit_update_ema = update_ema_compat if use_ema else None
 
+    def _seq_parallel_scope(self):
+        """Ring-attention dispatch scope: active when the mesh has a seq axis
+        >1. Consulted at trace time, so it wraps every step CALL (first call
+        per shape traces; later calls pay one no-op context enter)."""
+        if self.mesh is not None and dict(self.mesh.shape).get("seq", 1) > 1:
+            from ..ops.attention import sequence_parallel
+
+            return sequence_parallel(self.mesh)
+        return contextlib.nullcontext()
+
     def train_step(self, batch, key, at_accum_boundary: bool = True):
         """Run one jitted train step over the threaded state."""
         do_ema = 1.0 if (self._use_ema and at_accum_boundary) else 0.0
-        self._train_state, self.ema_state, loss, metrics = self._pure_step(
-            self._train_state,
-            self.ema_state,
-            batch,
-            key,
-            jnp.asarray(do_ema, dtype=jnp.float32),
-        )
+        with self._seq_parallel_scope():
+            self._train_state, self.ema_state, loss, metrics = (
+                self._pure_step(
+                    self._train_state,
+                    self.ema_state,
+                    batch,
+                    key,
+                    jnp.asarray(do_ema, dtype=jnp.float32),
+                )
+            )
         self._module_state_dirty = True
         return loss, metrics
 
