@@ -228,43 +228,68 @@ def _run_bwd_ah(q_bhsd, k_bhsd, v_bhsd, do_bhsd, kv_lens, scale, interpret):
 # ------------------------------------------- packed (B, S, H*D) kernel
 
 
+def _zero_oob_rows(x, valid):
+    """Zero block rows >= valid (static). The packed pallas calls read the
+    UNPADDED (B, S, E) arrays through block shapes rounded up to a multiple
+    of 8 — Mosaic materializes the overrunning rows, but their contents are
+    unspecified (could even be NaN bit patterns, which 0*NaN would propagate
+    through the dv/dk contraction over query rows). One static row mask per
+    operand restores exactly the semantics of the old host-side jnp.pad,
+    minus its ~7 ms/step of HBM round-trips at the JiT-B headline shape."""
+    if x.shape[0] == valid:
+        return x
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row < valid, x, jnp.zeros((), x.dtype))
+
+
 def _fwd_kernel_packed(kv_lens_ref, q_ref, k_ref, v_ref, o_ref,
-                       *, scale, heads, dim, bounded):
+                       *, scale, heads, dim, bounded, sk):
     """Heads live as static 64/128-wide LANE slices of a (S, H*D) block —
     the one head-extraction pattern that is layout-free on both sides: the
     model's (B, S, H, D) tensors collapse to (B, S, H*D) with no data
     movement, and static lane slices lower cleanly on Mosaic (same pattern
     as the NF4 kernel's 64-column chunks)."""
     b = pl.program_id(0)
-    kv_len = kv_lens_ref[b]
+    # sk < block rows: unspecified OOB k/v rows are masked by the kv_len
+    # column mask (kv_len <= sk always), so no explicit zeroing is needed on
+    # the key side; garbage q rows only produce garbage o rows, and stores
+    # beyond the array bound are dropped.
+    kv_len = jnp.minimum(kv_lens_ref[b], sk)
+    # v's OOB rows sit behind zeroed e columns, but 0*NaN = NaN inside the
+    # e@v contraction would leak into VALID output rows — zero them. k's OOB
+    # rows only poison e columns that the post-exp2 where() rewrites to 0,
+    # and garbage q rows only produce garbage o rows whose stores the block
+    # bound drops, so neither needs zeroing.
+    v_blk = _zero_oob_rows(v_ref[0], sk)
     for h in range(heads):
         sl = slice(h * dim, (h + 1) * dim)
-        o = _head_fwd(q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl],
+        o = _head_fwd(q_ref[0, :, sl], k_ref[0, :, sl], v_blk[:, sl],
                       kv_len, scale, bounded=bounded)
         o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel_packed(kv_lens_ref, q_ref, k_ref, v_ref, do_ref,
                        dq_ref, dk_ref, dv_ref, *, scale, heads, dim,
-                       bounded):
+                       bounded, sq, sk):
     b = pl.program_id(0)
-    kv_len = kv_lens_ref[b]
+    kv_len = jnp.minimum(kv_lens_ref[b], sk)
+    # dk/dv contract over QUERY rows (dv = p^T do, dk = ds^T q): garbage
+    # q/do rows would corrupt them. k/v OOB rows sit behind zeroed ds/e
+    # columns, but 0*NaN = NaN inside the ds@k / do@v^T contractions would
+    # leak into valid rows. Zero all overrun rows once per block.
+    q_blk = _zero_oob_rows(q_ref[0], sq)
+    do_blk = _zero_oob_rows(do_ref[0], sq)
+    k_blk = _zero_oob_rows(k_ref[0], sk)
+    v_blk = _zero_oob_rows(v_ref[0], sk)
     for h in range(heads):
         sl = slice(h * dim, (h + 1) * dim)
         dq, dk, dv = _head_bwd(
-            q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl],
-            do_ref[0, :, sl], kv_len, scale, bounded=bounded,
+            q_blk[:, sl], k_blk[:, sl], v_blk[:, sl],
+            do_blk[:, sl], kv_len, scale, bounded=bounded,
         )
         dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
         dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
         dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
-
-
-def _pad_seq3(x, target):
-    pad = target - x.shape[1]
-    if pad == 0:
-        return x
-    return jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
 
 
 def _prep_packed(q, k, v, kv_lens):
@@ -272,10 +297,7 @@ def _prep_packed(q, k, v, kv_lens):
     sk = k.shape[1]
     if kv_lens is None:
         kv_lens = jnp.full((batch,), sk, dtype=jnp.int32)
-    qb = _pad_seq3(q, _ceil_to(sq, 8))
-    kb = _pad_seq3(k, _ceil_to(sk, 8))
-    vb = _pad_seq3(v, _ceil_to(sk, 8))
-    return qb, kb, vb, kv_lens.astype(jnp.int32), sq, sk
+    return kv_lens.astype(jnp.int32), sq, sk
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5, 6, 7))
@@ -303,15 +325,20 @@ def _packed_fwd(q, k, v, num_heads, kv_lens, scale, interpret, bounded):
     dim = q.shape[-1] // num_heads
     if scale is None:
         scale = dim**-0.5
-    qb, kb, vb, lens, sq, sk = _prep_packed(q, k, v, kv_lens)
-    batch, sq_p, e = qb.shape
-    sk_p = kb.shape[1]
+    lens, sq, sk = _prep_packed(q, k, v, kv_lens)
+    batch, _, e = q.shape
+    # Block shapes round S up to the sublane multiple; the ARRAYS stay
+    # unpadded. Mosaic materializes the overrunning block rows (contents
+    # unspecified — see _zero_oob_rows) and drops OOB stores, which replaces
+    # the old host-side jnp.pad + depad slice round-trips (~7 ms/step at the
+    # JiT-B headline: 48 pad fusions + the bwd depads).
+    sq_p, sk_p = _ceil_to(sq, 8), _ceil_to(sk, 8)
     qspec = pl.BlockSpec((1, sq_p, e), lambda b: (b, 0, 0))
     kspec = pl.BlockSpec((1, sk_p, e), lambda b: (b, 0, 0))
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel_packed, scale=scale, heads=num_heads, dim=dim,
-            bounded=bounded,
+            bounded=bounded, sk=sk,
         ),
         grid=(batch,),
         in_specs=[
@@ -319,10 +346,10 @@ def _packed_fwd(q, k, v, num_heads, kv_lens, scale, interpret, bounded):
             qspec, kspec, kspec,
         ],
         out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct(qb.shape, qb.dtype),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         interpret=interpret,
-    )(lens, qb, kb, vb)
-    return out[:, :sq], (q, k, v, kv_lens)
+    )(lens, q, k, v)
+    return out, (q, k, v, kv_lens)
 
 
 def _packed_bwd(num_heads, scale, interpret, bounded, res, dout):
@@ -330,16 +357,16 @@ def _packed_bwd(num_heads, scale, interpret, bounded, res, dout):
     dim = q.shape[-1] // num_heads
     if scale is None:
         scale = dim**-0.5
-    qb, kb, vb, lens, sq, sk = _prep_packed(q, k, v, kv_lens)
-    batch, sq_p, e = qb.shape
-    sk_p = kb.shape[1]
-    dob = _pad_seq3(dout.astype(q.dtype), sq_p)
+    lens, sq, sk = _prep_packed(q, k, v, kv_lens)
+    batch, _, e = q.shape
+    do = dout.astype(q.dtype)
+    sq_p, sk_p = _ceil_to(sq, 8), _ceil_to(sk, 8)
     qspec = pl.BlockSpec((1, sq_p, e), lambda b: (b, 0, 0))
     kspec = pl.BlockSpec((1, sk_p, e), lambda b: (b, 0, 0))
     dq, dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_kernel_packed, scale=scale, heads=num_heads, dim=dim,
-            bounded=bounded,
+            bounded=bounded, sq=sq, sk=sk,
         ),
         grid=(batch,),
         in_specs=[
@@ -348,13 +375,13 @@ def _packed_bwd(num_heads, scale, interpret, bounded, res, dout):
         ],
         out_specs=[qspec, kspec, kspec],
         out_shape=[
-            jax.ShapeDtypeStruct(qb.shape, qb.dtype),
-            jax.ShapeDtypeStruct(kb.shape, kb.dtype),
-            jax.ShapeDtypeStruct(vb.shape, vb.dtype),
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
         ],
         interpret=interpret,
-    )(lens, qb, kb, vb, dob)
-    return dq[:, :sq], dk[:, :sk], dv[:, :sk], None
+    )(lens, q, k, v, do)
+    return dq, dk, dv, None
 
 
 short_attention_packed.defvjp(
