@@ -129,15 +129,41 @@ def test_pallas_dequant_matmul_interpret():
     deint = repack_deinterleaved(packed, (64, 256))
     np.testing.assert_array_equal(repack_bnb(deint), packed)  # roundtrip
     x = jnp.asarray(rng.normal(size=(8, 256)).astype(np.float32))
+    assert deint.shape == (128, 64)  # (in//2, out) transposed layout
     y_kernel = dequant_matmul_4bit(
         x,
         jnp.asarray(deint),
-        jnp.asarray(state.absmax).reshape(64, 4),
+        jnp.asarray(state.absmax).reshape(64, 4).T,  # (in//BLOCK, out)
         interpret=True,
     )
     y_ref = x @ jnp.asarray(dequantize_4bit(packed, state)).T
     np.testing.assert_allclose(
         np.asarray(y_kernel), np.asarray(y_ref), atol=1e-3
+    )
+
+
+def test_pallas_dequant_matmul_interpret_bf16_tree():
+    """bf16 activations take the int16 bit-pattern select tree; its output
+    must equal the XLA dequant reference rounded to bf16."""
+    from vision_pt_tpu.ops.quant.pallas_nf4 import repack_deinterleaved
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(64, 256)).astype(np.float32) * 0.1
+    packed, state = quantize_4bit(w)
+    deint = repack_deinterleaved(packed, (64, 256))
+    x = jnp.asarray(rng.normal(size=(8, 256)), dtype=jnp.bfloat16)
+    y_kernel = dequant_matmul_4bit(
+        x,
+        jnp.asarray(deint),
+        jnp.asarray(state.absmax).reshape(64, 4).T,
+        interpret=True,
+    )
+    w_ref = jnp.asarray(dequantize_4bit(packed, state)).astype(jnp.bfloat16)
+    y_ref = x @ w_ref.T
+    np.testing.assert_allclose(
+        np.asarray(y_kernel, np.float32),
+        np.asarray(y_ref, np.float32),
+        atol=5e-2, rtol=5e-2,
     )
 
 

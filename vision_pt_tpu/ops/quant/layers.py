@@ -7,8 +7,9 @@ Backward passes gradients to the input only — quantized base weights are
 frozen (the QLoRA contract).
 
 Storage layout: when ``in_features % 128 == 0`` codes are kept in the Pallas
-kernel's deinterleaved (out, in//2) layout (converted to/from bnb packing at
-the checkpoint boundary); otherwise flat bnb packing with XLA dequant.
+kernel's transposed deinterleaved (in//2, out) layout with (in//BLOCK, out)
+scales (converted to/from bnb packing at the checkpoint boundary); otherwise
+flat bnb packing with XLA dequant.
 """
 
 from __future__ import annotations
@@ -49,15 +50,16 @@ def _on_tpu() -> bool:
         return False
 
 
-def _dequant_deint(packed_deint, absmax, quant_type, shape, dtype):
-    """XLA dense dequant from the deinterleaved layout -> (out, in)."""
+def _dequant_deint(packed_t, absmax_t, quant_type, shape, dtype):
+    """XLA dense dequant from the transposed deinterleaved layout ->
+    (out, in) (the transpose fuses into the consuming matmul)."""
     code = jnp.asarray(CODEBOOKS[quant_type])
-    p = packed_deint.astype(jnp.int32)
+    p = packed_t.astype(jnp.int32)  # (in//2, out)
     left = code[(p >> 4) & 0x0F]
     right = code[p & 0x0F]
-    w = jnp.concatenate([left, right], axis=1)  # (out, in)
-    scales = jnp.repeat(absmax.astype(jnp.float32), BLOCK, axis=1)
-    return (w * scales).astype(dtype)
+    w_t = jnp.concatenate([left, right], axis=0)  # (in, out)
+    scales = jnp.repeat(absmax_t.astype(jnp.float32), BLOCK, axis=0)
+    return (w_t * scales).astype(dtype).T
 
 
 # below this many x rows the op is weight-memory-bound and the Pallas
@@ -126,10 +128,10 @@ class QuantLinear4bit(nnx.Module):
         n = out_features * in_features
         if self.layout == "kernel":
             self.packed = QuantParam(
-                jnp.zeros((out_features, in_features // 2), dtype=jnp.uint8)
+                jnp.zeros((in_features // 2, out_features), dtype=jnp.uint8)
             )
             self.absmax = QuantParam(
-                jnp.zeros((out_features, in_features // BLOCK), dtype=jnp.float32)
+                jnp.zeros((in_features // BLOCK, out_features), dtype=jnp.float32)
             )
         else:
             self.packed = QuantParam(jnp.zeros((n // 2, 1), dtype=jnp.uint8))
@@ -155,7 +157,11 @@ class QuantLinear4bit(nnx.Module):
                 repack_deinterleaved(packed_bnb, shape)
             )
             self.absmax.value = jnp.asarray(
-                absmax_flat.reshape(self.out_features, self.in_features // BLOCK)
+                np.ascontiguousarray(
+                    absmax_flat.reshape(
+                        self.out_features, self.in_features // BLOCK
+                    ).T
+                )
             )
         else:
             self.packed.value = jnp.asarray(packed_bnb)
@@ -164,7 +170,7 @@ class QuantLinear4bit(nnx.Module):
     def _get_bnb(self) -> tuple[np.ndarray, np.ndarray]:
         if self.layout == "kernel":
             packed = repack_bnb(np.asarray(self.packed.value))
-            absmax = np.asarray(self.absmax.value).reshape(-1)
+            absmax = np.asarray(self.absmax.value).T.reshape(-1)
         else:
             packed = np.asarray(self.packed.value)
             absmax = np.asarray(self.absmax.value)

@@ -171,9 +171,10 @@ def quantize_4bit_device_kernel_layout(
     quant_type: str = "nf4",
     blocksize: int = 64,
 ) -> tuple[jax.Array, jax.Array]:
-    """Quantize straight into the Pallas kernel's deinterleaved layout —
-    (out, in//2) packed uint8 + (out, in//blocksize) absmax — entirely on
-    device (no host round trip; this is the QLoRA model-surgery hot path)."""
+    """Quantize straight into the Pallas kernel's transposed deinterleaved
+    layout — (in//2, out) packed uint8 + (in//blocksize, out) absmax —
+    entirely on device (no host round trip; this is the QLoRA model-surgery
+    hot path)."""
     out_dim, in_dim = w.shape
     code_np = CODEBOOKS[quant_type]
     order = np.argsort(code_np, kind="stable")
@@ -194,8 +195,8 @@ def quantize_4bit_device_kernel_layout(
     q = jnp.asarray(order.astype(np.uint8))[jnp.where(pick_hi, hi, lo)]
     left = q[:, : in_dim // 2]
     right = q[:, in_dim // 2 :]
-    packed_deint = ((left << 4) | right).astype(jnp.uint8)
-    return packed_deint, absmax.reshape(out_dim, in_dim // blocksize)
+    packed_t = ((left << 4) | right).astype(jnp.uint8).T  # (in//2, out)
+    return packed_t, absmax.reshape(out_dim, in_dim // blocksize).T
 
 
 def unpack_4bit(packed: np.ndarray) -> np.ndarray:
