@@ -130,3 +130,31 @@ def test_native_loader_throughput(tmp_path, lib_available):
     pil_s = time.perf_counter() - t0
     print(f"native {native_s / n * 1e3:.1f}ms vs PIL {pil_s / n * 1e3:.1f}ms")
     assert native_s < pil_s
+
+
+def test_bucket_uint8_output_mode(tmp_path, lib_available):
+    """output_dtype="uint8" emits raw RGB8 (4x fewer host->device bytes;
+    the [-1,1] normalize happens on device) that matches the f32 path
+    exactly after the on-device formula, on BOTH loader paths."""
+    from vision_pt_tpu.data.text_to_image import TextToImageBucket
+
+    path = tmp_path / "img.jpg"
+    _make_image(path, 640, 480)
+    for use_native in (True, False):
+        kw = dict(
+            items=[{"image": str(path), "caption": "c"}],
+            batch_size=1, width=128, height=96, do_upscale=False,
+            seed=0, use_native_loader=use_native,
+        )
+        item_u8 = TextToImageBucket(**kw, output_dtype="uint8").load_item(0)
+        item_f32 = TextToImageBucket(**kw).load_item(0)
+        assert item_u8["image"].dtype == np.uint8
+        assert item_f32["image"].dtype == np.float32
+        np.testing.assert_allclose(
+            item_u8["image"].astype(np.float32) / 127.5 - 1.0,
+            item_f32["image"], atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            item_u8["crop_coords_top_left"],
+            item_f32["crop_coords_top_left"],
+        )

@@ -115,6 +115,7 @@ class TextToImageBucket(Bucket):
         caption_processors: CaptionProcessorList = [],
         seed: int = 0,
         use_native_loader: bool = True,
+        output_dtype: str = "float32",
     ):
         super().__init__(items, batch_size, num_repeats)
         self.width = int(width)
@@ -124,6 +125,12 @@ class TextToImageBucket(Bucket):
         self.resize = ObjectCoverResize(self.width, self.height, do_upscale)
         self.use_native_loader = use_native_loader
         self.seed = seed
+        # "uint8": emit raw RGB8 and let the consumer normalize ON DEVICE —
+        # 4x fewer host->device bytes (and host float work) than f32;
+        # normalize with images.astype(f32) / 127.5 - 1 inside the step,
+        # where XLA fuses it into the first consumer op for free
+        assert output_dtype in ("float32", "uint8")
+        self.output_dtype = output_dtype
 
     def _load_native(self, path, rng) -> tuple | None:
         """Fused C decode+cover-resize+crop (native/image_loader.cpp); None
@@ -148,6 +155,8 @@ class TextToImageBucket(Bucket):
         )
         if rgb is None:
             return None
+        if self.output_dtype == "uint8":
+            return rgb, ch, cw, top, left
         arr = rgb.astype(np.float32) / 127.5 - 1.0
         return arr, ch, cw, top, left
 
@@ -162,7 +171,10 @@ class TextToImageBucket(Bucket):
         else:
             with Image.open(item["image"]) as pil:
                 resized = self.resize(pil)
-                arr = to_array(resized)
+                if self.output_dtype == "uint8":
+                    arr = np.asarray(resized.convert("RGB"), dtype=np.uint8)
+                else:
+                    arr = to_array(resized)
             orig_h, orig_w = arr.shape[:2]
             crop, (top, left) = random_crop(
                 arr, self.height, self.width, rng
@@ -171,7 +183,8 @@ class TextToImageBucket(Bucket):
             item["caption"], self.caption_processors, rng
         )
         return {
-            "image": crop.astype(np.float32),
+            "image": crop if self.output_dtype == "uint8"
+            else crop.astype(np.float32),
             "caption": caption,
             "original_size": np.asarray([orig_h, orig_w], dtype=np.int32),
             "target_size": np.asarray([self.height, self.width], dtype=np.int32),
