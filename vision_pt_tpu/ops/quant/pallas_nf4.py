@@ -20,7 +20,12 @@ Mosaic constraints shape the design (all probed on this chip):
 - blockwise absmax scaling happens on the (bm, bo) partial products after
   each 64-row contraction — mathematically identical to scaling W, but it
   needs no lane-dim expansion of the scales and keeps the tree output a
-  pure codebook lookup (bit-exact against the XLA dequant reference).
+  pure codebook lookup. The tree's selected bf16 code values are bit-exact
+  vs the XLA reference's codebook, but the *matmul* result can differ by
+  bf16 rounding: the kernel scales f32 partial products after a
+  bf16-codebook dot while the XLA path rounds code*scale to bf16 before
+  its dot, so products accumulate in different orders (tests assert 5e-2
+  relative agreement, not bit equality).
 
 Measured on the round-4 chip (M=64, K=N=8192, amortized harness): this
 design runs 0.92x dense bf16 vs the previous (N, K/2) f32-tree kernel's
