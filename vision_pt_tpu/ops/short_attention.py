@@ -160,6 +160,125 @@ def _head_bwd(q, k, v, do, kv_len, scale, bounded=False):
     return dq, dk, dv
 
 
+def _pairable(heads: int, dim: int) -> bool:
+    """Head-PAIRED MXU schedule eligibility: two D<=64 heads fused per dot.
+
+    At D=64 the score dots contract over 64 of the MXU's 128-deep array and
+    the output dots write 64 of its 128 lanes — both half idle. Pairing two
+    heads with lane-concat queries and block-diagonal keys/values fills
+    both: 4 of the 8 fwd+bwd dots drop from 6 to 5 row-stream passes per
+    pair (measured 1.11x on the kernel at the JiT-B headline shape —
+    tools/bench/attention_pairing_probe.py). Inside fp rounding the math is
+    identical: [q_a|q_b] @ [[k_a,0],[0,k_b]]^T = [s_a | s_b] exactly."""
+    return heads % 2 == 0 and 2 * dim <= 128
+
+
+def _head_pair_fwd(q2, k2, v2, kv_len, scale, dim, bounded):
+    """Fused attention forward for two heads. q2/k2/v2 are the lane-concat
+    (S, 2*dim) slices of the packed block; returns the (Sq, 2*dim) paired
+    output. Same numerics as two `_head_fwd` calls (bf16 MXU dots, f32
+    softmax, lazy normalization), scheduled as paired dots."""
+    sq, sk = q2.shape[0], k2.shape[0]
+    z = jnp.zeros((sk, dim), k2.dtype)
+    # block-diagonal keys/values: [[k_a, 0], [0, k_b]]  (2*Sk, 2*dim)
+    kblk = jnp.concatenate(
+        [jnp.concatenate([k2[:, :dim], z], 1),
+         jnp.concatenate([z, k2[:, dim:]], 1)], 0)
+    vblk = jnp.concatenate(
+        [jnp.concatenate([v2[:, :dim], z], 1),
+         jnp.concatenate([z, v2[:, dim:]], 1)], 0)
+    s = jax.lax.dot_general(  # (Sq, 2*Sk) = [s_a | s_b], depth 2*dim
+        q2, kblk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (scale * LOG2E)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    first = col < sk
+    half_col = jnp.where(first, col, col - sk)
+    valid = half_col < kv_len
+    if bounded:
+        lim = BOUNDED_LOGIT_CLIP * LOG2E
+        e = jnp.exp2(jnp.clip(s, -lim, lim))
+        e = jnp.where(valid, e, 0.0)
+    else:
+        s = jnp.where(valid, s, NEG_INF)
+        # segmented max per head half (rows never mix heads, columns do)
+        ma = jnp.max(jnp.where(first, s, NEG_INF), axis=-1, keepdims=True)
+        mb = jnp.max(jnp.where(first, NEG_INF, s), axis=-1, keepdims=True)
+        e = jnp.exp2(s - jnp.where(first, ma, mb))
+    ea = jnp.where(first, e, 0.0)
+    da = jnp.maximum(jnp.sum(ea, axis=-1, keepdims=True), 2.0**-100)
+    db = jnp.maximum(jnp.sum(e - ea, axis=-1, keepdims=True), 2.0**-100)
+    o = jax.lax.dot_general(  # (Sq, 2*dim) = [o_a | o_b], depth 2*Sk
+        e.astype(v2.dtype), vblk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.concatenate([o[:, :dim] / da, o[:, dim:] / db], 1)
+
+
+def _head_pair_bwd(q2, k2, v2, do2, kv_len, scale, dim, bounded):
+    """Fused backward for two heads: returns (dq2, dk2, dv2) lane-concat
+    (S, 2*dim) grads. dK/dV come out of single (2*Sk, 2*dim) dots whose
+    off-diagonal halves are discarded (same MXU cost as per-head, one
+    instruction instead of two); the other four dots run at full depth/lanes."""
+    sq, sk = q2.shape[0], k2.shape[0]
+    z = jnp.zeros((sk, dim), k2.dtype)
+    kblk = jnp.concatenate(
+        [jnp.concatenate([k2[:, :dim], z], 1),
+         jnp.concatenate([z, k2[:, dim:]], 1)], 0)
+    vblk = jnp.concatenate(
+        [jnp.concatenate([v2[:, :dim], z], 1),
+         jnp.concatenate([z, v2[:, dim:]], 1)], 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (sq, 2 * sk), 1)
+    first = col < sk
+    half_col = jnp.where(first, col, col - sk)
+    valid = half_col < kv_len
+    if bounded:
+        s = jax.lax.dot_general(
+            q2, kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * LOG2E)
+        lim = BOUNDED_LOGIT_CLIP * LOG2E
+        e = jnp.exp2(jnp.clip(s, -lim, lim))
+        e = jnp.where(valid, e, 0.0)
+    else:
+        s = jax.lax.dot_general(
+            q2, kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(valid, s, NEG_INF)
+        ma = jnp.max(jnp.where(first, s, NEG_INF), axis=-1, keepdims=True)
+        mb = jnp.max(jnp.where(first, NEG_INF, s), axis=-1, keepdims=True)
+        e = jnp.exp(s - jnp.where(first, ma, mb))
+    ea = jnp.where(first, e, 0.0)
+    da = jnp.maximum(jnp.sum(ea, axis=-1, keepdims=True), 2.0**-100)
+    db = jnp.maximum(jnp.sum(e - ea, axis=-1, keepdims=True), 2.0**-100)
+    p = e / jnp.where(first, da, db)  # (Sq, 2*Sk) f32
+    dvkj = jax.lax.dot_general(  # (2*Sk, 2*dim): dv_a at [:Sk,:dim], dv_b
+        p.astype(do2.dtype), do2, (((0,), (0,)), ((), ())),  # at [Sk:,dim:]
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(  # (Sq, 2*Sk), depth 2*dim
+        do2, vblk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    pdp = p * dp
+    pa = jnp.where(first, pdp, 0.0)
+    delta_a = jnp.sum(pa, axis=-1, keepdims=True)
+    delta_b = jnp.sum(pdp - pa, axis=-1, keepdims=True)
+    ds = (p * (dp - jnp.where(first, delta_a, delta_b)))
+    dq = jax.lax.dot_general(  # (Sq, 2*dim), depth 2*Sk
+        ds.astype(k2.dtype), kblk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dkj = jax.lax.dot_general(  # (2*Sk, 2*dim): dk_a at [:Sk,:dim], dk_b
+        ds.astype(q2.dtype), q2, (((0,), (0,)), ((), ())),  # at [Sk:,dim:]
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dk2 = jnp.concatenate([dkj[:sk, :dim], dkj[sk:, dim:]], 1)
+    dv2 = jnp.concatenate([dvkj[:sk, :dim], dvkj[sk:, dim:]], 1)
+    return dq, dk2, dv2
+
+
 def _fwd_kernel_ah(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale, heads):
     """One program per BATCH element; heads unrolled inside. 12x fewer grid
     steps than the (B, H) kernel — the per-instance DMA/loop overhead was
@@ -261,11 +380,19 @@ def _fwd_kernel_packed(kv_lens_ref, q_ref, k_ref, v_ref, o_ref,
     # and garbage q rows only produce garbage o rows whose stores the block
     # bound drops, so neither needs zeroing.
     v_blk = _zero_oob_rows(v_ref[0], sk)
-    for h in range(heads):
-        sl = slice(h * dim, (h + 1) * dim)
-        o = _head_fwd(q_ref[0, :, sl], k_ref[0, :, sl], v_blk[:, sl],
-                      kv_len, scale, bounded=bounded)
-        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+    if _pairable(heads, dim):
+        for hp in range(heads // 2):
+            sl = slice(hp * 2 * dim, (hp + 1) * 2 * dim)
+            o = _head_pair_fwd(q_ref[0, :, sl], k_ref[0, :, sl],
+                               v_blk[:, sl], kv_len, scale, dim,
+                               bounded=bounded)
+            o_ref[0, :, sl] = o.astype(o_ref.dtype)
+    else:
+        for h in range(heads):
+            sl = slice(h * dim, (h + 1) * dim)
+            o = _head_fwd(q_ref[0, :, sl], k_ref[0, :, sl], v_blk[:, sl],
+                          kv_len, scale, bounded=bounded)
+            o_ref[0, :, sl] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel_packed(kv_lens_ref, q_ref, k_ref, v_ref, do_ref,
@@ -281,15 +408,26 @@ def _bwd_kernel_packed(kv_lens_ref, q_ref, k_ref, v_ref, do_ref,
     do_blk = _zero_oob_rows(do_ref[0], sq)
     k_blk = _zero_oob_rows(k_ref[0], sk)
     v_blk = _zero_oob_rows(v_ref[0], sk)
-    for h in range(heads):
-        sl = slice(h * dim, (h + 1) * dim)
-        dq, dk, dv = _head_bwd(
-            q_blk[:, sl], k_blk[:, sl], v_blk[:, sl],
-            do_blk[:, sl], kv_len, scale, bounded=bounded,
-        )
-        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+    if _pairable(heads, dim):
+        for hp in range(heads // 2):
+            sl = slice(hp * 2 * dim, (hp + 1) * 2 * dim)
+            dq, dk, dv = _head_pair_bwd(
+                q_blk[:, sl], k_blk[:, sl], v_blk[:, sl],
+                do_blk[:, sl], kv_len, scale, dim, bounded=bounded,
+            )
+            dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+    else:
+        for h in range(heads):
+            sl = slice(h * dim, (h + 1) * dim)
+            dq, dk, dv = _head_bwd(
+                q_blk[:, sl], k_blk[:, sl], v_blk[:, sl],
+                do_blk[:, sl], kv_len, scale, bounded=bounded,
+            )
+            dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
 
 def _prep_packed(q, k, v, kv_lens):
