@@ -142,10 +142,13 @@ def main():
     out["kernel_fwdbwd_ms_per_layer"] = round(t12 / n_lay * 1e3, 3)
     out["kernel_fwdbwd_ms_12_layers"] = round(t12 * 1e3, 2)
 
-    # ---- 2b. dots-only packed kernel: the SAME block topology and the
-    # same six MXU contractions per head as the real fwd+bwd, with every
-    # softmax/mask/exp2 elementwise pass removed. kernel_minus_dots is the
-    # kernel's VPU share; dots_only is its MXU floor at these shapes.
+    # ---- 2b. dots-only packed kernel, in BOTH schedules: the same MXU
+    # contraction topology as the real fwd+bwd with every softmax/mask/exp2
+    # elementwise pass removed. ``paired`` mirrors the production schedule
+    # (head-paired block-diagonal operands, commit 4098859); ``per_head``
+    # is the pre-pairing schedule kept as the A/B reference.
+    # kernel_minus_dots (vs paired) is the kernel's VPU share; dots_only is
+    # its MXU floor at these shapes.
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu  # noqa: F401
 
@@ -155,15 +158,19 @@ def main():
             sl = slice(h * dim, (h + 1) * dim)
             qh, kh, vh, doh = (q_ref[0, :, sl], k_ref[0, :, sl],
                                v_ref[0, :, sl], do_ref[0, :, sl])
-            s = jax.lax.dot_general(   # QK^T (depth D)
+            s = jax.lax.dot_general(   # fwd QK^T (depth D)
                 qh, kh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            p = s.astype(qh.dtype)
-            o = jax.lax.dot_general(   # PV (depth S)
-                p, vh, (((1,), (0,)), ((), ())),
+            o = jax.lax.dot_general(   # fwd PV (depth S)
+                s.astype(qh.dtype), vh, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            s2 = jax.lax.dot_general(  # bwd QK^T recompute (depth D)
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = s2.astype(qh.dtype)
             dv = jax.lax.dot_general(  # p^T do (depth S)
                 p, doh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -186,24 +193,95 @@ def main():
             dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
             dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
-    def dots_only(x):
+    def _dots_only_paired_kernel(q_ref, k_ref, v_ref, do_ref,
+                                 o_ref, dq_ref, dk_ref, dv_ref,
+                                 *, heads, dim):
+        # fwd: s_pair + o_pair (2 dots); bwd: s recompute + dv + dp + dq
+        # + dk (5 dots) — 7 paired dots == production topology
+        z = jnp.zeros((S_PAD, dim), q_ref.dtype)
+        for hp in range(heads // 2):
+            sl = slice(hp * 2 * dim, (hp + 1) * 2 * dim)
+            q2, k2, v2, do2 = (q_ref[0, :, sl], k_ref[0, :, sl],
+                               v_ref[0, :, sl], do_ref[0, :, sl])
+            kblk = jnp.concatenate(
+                [jnp.concatenate([k2[:, :dim], z], 1),
+                 jnp.concatenate([z, k2[:, dim:]], 1)], 0)
+            vblk = jnp.concatenate(
+                [jnp.concatenate([v2[:, :dim], z], 1),
+                 jnp.concatenate([z, v2[:, dim:]], 1)], 0)
+            s = jax.lax.dot_general(   # fwd scores (S, 2S), depth 2D
+                q2, kblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            e = s.astype(q2.dtype)
+            o = jax.lax.dot_general(   # fwd out (S, 2D), depth 2S
+                e, vblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s2 = jax.lax.dot_general(  # bwd score recompute
+                q2, kblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = s2.astype(q2.dtype)
+            dvj = jax.lax.dot_general(  # (2S, 2D) junk-half dv
+                p, do2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(   # (S, 2S), depth 2D
+                do2, vblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = dp.astype(q2.dtype)
+            dq = jax.lax.dot_general(   # (S, 2D), depth 2S
+                ds, kblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dkj = jax.lax.dot_general(  # (2S, 2D) junk-half dk
+                ds, q2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, :, sl] = o.astype(o_ref.dtype)
+            dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[0, :, sl] = jnp.concatenate(
+                [dkj[:S_PAD, :dim], dkj[S_PAD:, dim:]], 1
+            ).astype(dk_ref.dtype)
+            dv_ref[0, :, sl] = jnp.concatenate(
+                [dvj[:S_PAD, :dim], dvj[S_PAD:, dim:]], 1
+            ).astype(dv_ref.dtype)
+
+    def dots_variant(kernel):
         spec = pl.BlockSpec((1, S_PAD, E), lambda b: (b, 0, 0))
-        o, dq, dk, dv = pl.pallas_call(
-            functools.partial(_dots_only_kernel, heads=H, dim=D),
-            grid=(B,),
-            in_specs=[spec, spec, spec, spec],
-            out_specs=[spec, spec, spec, spec],
-            out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)] * 4,
-        )(x, x, x, x)
-        return (o + dq + dk + dv).astype(x.dtype)
+
+        def call(x):
+            o, dq, dk, dv = pl.pallas_call(
+                functools.partial(kernel, heads=H, dim=D),
+                grid=(B,),
+                in_specs=[spec, spec, spec, spec],
+                out_specs=[spec, spec, spec, spec],
+                out_shape=[jax.ShapeDtypeStruct(x.shape, x.dtype)] * 4,
+            )(x, x, x, x)
+            return (o + dq + dk + dv).astype(x.dtype)
+
+        return call
 
     qp = jax.random.normal(key, (B, S_PAD, E), dtype=jnp.bfloat16)
-    rund = chain(dots_only, qp, n_lay)
-    float(rund(qp, jnp.float32(0)))
-    td = timed(rund, qp) / n_lay
-    out["dots_only_ms_per_layer"] = round(td * 1e3, 3)
-    dot_flops = 6 * 2 * B * H * S_PAD * S_PAD * D
-    out["dots_only_tflops"] = round(dot_flops / td / 1e12, 1)
+    # USEFUL flops — identical for both schedules (7 production dots:
+    # fwd s+o, bwd s2+dv+dp+dq+dk). The paired schedule additionally
+    # multiplies the zero halves of its block-diagonal operands (2x MACs
+    # executed on 4 of 7 dots) yet finishes sooner — MXU time at these
+    # shapes is pass-count-bound, not MAC-bound, which is the whole lever.
+    useful_flops = 7 * 2 * B * H * S_PAD * S_PAD * D
+    td = None
+    for name, kern in [("per_head", _dots_only_kernel),
+                       ("paired", _dots_only_paired_kernel)]:
+        rund = chain(dots_variant(kern), qp, n_lay)
+        float(rund(qp, jnp.float32(0)))
+        t = timed(rund, qp) / n_lay
+        out[f"dots_only_{name}_ms_per_layer"] = round(t * 1e3, 3)
+        out[f"dots_only_{name}_useful_tflops"] = round(
+            useful_flops / t / 1e12, 1)
+        if name == "paired":
+            td = t
     out["kernel_minus_dots_ms_per_layer"] = round(
         (t12 / n_lay - td) * 1e3, 3
     )
