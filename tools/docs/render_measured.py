@@ -64,13 +64,9 @@ def fmt_extra(name: str, sec: dict) -> str | None:
     return f"| `{name}` | {sec['value']} | {sec.get('unit', '')} |"
 
 
-def render() -> str:
+def render_bench_lines() -> list[str]:
     bench_name, bench = newest_bench()
-    parity = json.loads((ROOT / "docs/parity/measured.json").read_text())
-
     lines = [
-        BEGIN,
-        "",
         f"**Official driver record — `{bench_name}` (last complete line):**",
         "",
         f"- **{bench['value']} {bench['unit']}** "
@@ -84,10 +80,15 @@ def render() -> str:
         row = fmt_extra(name, sec)
         if row:
             lines.append(row)
-    lines += [
-        "",
+    return lines
+
+
+def render_parity_lines() -> list[str]:
+    parity = json.loads((ROOT / "docs/parity/measured.json").read_text())
+    lines = [
         "**Parity vs the PyTorch reference — `docs/parity/measured.json`",
-        "(refreshed by the parity tests on every run):**",
+        "(refreshed by the parity tests on every run; values drift ~1-2 dB",
+        "run-to-run, so the drift test checks these within tolerance):**",
         "",
         "| metric | value | unit | measured |",
         "|---|---|---|---|",
@@ -96,8 +97,14 @@ def render() -> str:
         lines.append(
             f"| `{name}` | {rec['value']} | {rec['unit']} | {rec['at']} |"
         )
-    lines += ["", END]
-    return "\n".join(lines)
+    return lines
+
+
+def render() -> str:
+    return "\n".join(
+        [BEGIN, ""] + render_bench_lines() + [""]
+        + render_parity_lines() + ["", END]
+    )
 
 
 def main() -> int:
