@@ -236,6 +236,56 @@ def test_short_attention_packed_matches_bshd():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_short_attention_packed_unpairable_heads_fallback():
+    """Odd head counts (and 2*dim > 128) can't take the head-PAIRED MXU
+    schedule — the packed kernel must fall back to the per-head loop with
+    identical semantics. H=3 exercises the fallback; H=2/D=32 exercises a
+    pair at sub-64 dim."""
+    from vision_pt_tpu.ops.short_attention import (
+        _pairable,
+        short_attention,
+        short_attention_packed,
+    )
+
+    assert not _pairable(3, 64) and _pairable(2, 32) and not _pairable(4, 128)
+    for H, D in [(3, 64), (2, 32)]:
+        B, S = 2, 21
+        q = jax.random.normal(jax.random.key(0), (B, S, H, D),
+                              dtype=jnp.float32)
+        k = jax.random.normal(jax.random.key(1), (B, S, H, D),
+                              dtype=jnp.float32)
+        v = jax.random.normal(jax.random.key(2), (B, S, H, D),
+                              dtype=jnp.float32)
+        kv_lens = jnp.asarray([21, 13], dtype=jnp.int32)
+        ref = short_attention(q, k, v, kv_lens, interpret=True)
+        for bounded in (False, True):
+            out = short_attention_packed(
+                q.reshape(B, S, H * D), k.reshape(B, S, H * D),
+                v.reshape(B, S, H * D), H, kv_lens, None, True, bounded,
+            ).reshape(B, S, H, D)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=1e-5,
+            )
+        g_ref = jax.grad(
+            lambda q, k, v: (
+                short_attention(q, k, v, kv_lens, interpret=True) ** 2
+            ).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        g_out = jax.grad(
+            lambda q, k, v: (
+                short_attention_packed(
+                    q.reshape(B, S, H * D), k.reshape(B, S, H * D),
+                    v.reshape(B, S, H * D), H, kv_lens, None, True, True,
+                ) ** 2
+            ).sum(),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+        for a, b in zip(g_out, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
+
+
 def test_short_attention_packed_bounded_matches_stable():
     """bounded=True (no-max softmax, QKNorm-bounded logits fast path) is
     exactly softmax inside BOUNDED_LOGIT_CLIP — forward AND grads match the
