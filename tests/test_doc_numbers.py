@@ -41,12 +41,25 @@ def _readme_block(rm):
 
 
 def test_readme_bench_block_is_current():
+    """The block must agree EXACTLY with the BENCH artifact it cites, and
+    that artifact may be at most one round behind the newest on disk: the
+    driver writes ``BENCH_r{N}.json`` AFTER the round ends, so a judge
+    session running right after sees one artifact the builder could not
+    have rendered yet — that window is allowed; two rounds stale is not."""
     rm = _load_renderer()
     block = _readme_block(rm)
-    for line in rm.render_bench_lines():
+    m = re.search(r"`(BENCH_r\d+\.json)`", block)
+    assert m, "README measured block does not cite its BENCH artifact"
+    cited = m.group(1)
+    benches = [p.name for p in rm.list_benches()]
+    assert cited in benches[-2:], (
+        f"README cites {cited} but newer artifacts exist ({benches[-2:]}) "
+        "— run python tools/docs/render_measured.py"
+    )
+    for line in rm.render_bench_lines(rm.ROOT / cited):
         assert line in block, (
-            f"README measured block is stale (missing: {line!r}) — run "
-            "python tools/docs/render_measured.py"
+            f"README measured block disagrees with {cited} "
+            f"(missing: {line!r}) — run python tools/docs/render_measured.py"
         )
 
 

@@ -29,11 +29,11 @@ BEGIN = "<!-- MEASURED:BEGIN (rendered by tools/docs/render_measured.py — do n
 END = "<!-- MEASURED:END -->"
 
 
-def newest_bench() -> tuple[str, dict]:
-    benches = sorted(ROOT.glob("BENCH_r*.json"))
-    if not benches:
-        raise SystemExit("no BENCH_r*.json artifact found")
-    path = benches[-1]
+def list_benches() -> list[Path]:
+    return sorted(ROOT.glob("BENCH_r*.json"))
+
+
+def load_bench(path: Path) -> dict:
     last = None
     for line in path.read_text().splitlines():
         line = line.strip()
@@ -49,7 +49,14 @@ def newest_bench() -> tuple[str, dict]:
         # "parsed" object if present
         doc = json.loads(path.read_text())
         last = doc.get("parsed", doc)
-    return path.name, last
+    return last
+
+
+def newest_bench() -> tuple[str, dict]:
+    benches = list_benches()
+    if not benches:
+        raise SystemExit("no BENCH_r*.json artifact found")
+    return benches[-1].name, load_bench(benches[-1])
 
 
 def fmt_extra(name: str, sec: dict) -> str | None:
@@ -64,8 +71,11 @@ def fmt_extra(name: str, sec: dict) -> str | None:
     return f"| `{name}` | {sec['value']} | {sec.get('unit', '')} |"
 
 
-def render_bench_lines() -> list[str]:
-    bench_name, bench = newest_bench()
+def render_bench_lines(bench_path: Path | None = None) -> list[str]:
+    if bench_path is None:
+        bench_name, bench = newest_bench()
+    else:
+        bench_name, bench = bench_path.name, load_bench(bench_path)
     lines = [
         f"**Official driver record — `{bench_name}` (last complete line):**",
         "",
