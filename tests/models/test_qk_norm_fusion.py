@@ -78,6 +78,42 @@ def test_attention_fused_vs_generic_projection():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_fused_dispatch_is_gated_on_compute_dtype(monkeypatch):
+    """fp32 activations must take the PLAIN norm-then-rotate path and bf16
+    the fused one: the fusion's win is eliminating the fp32 upcast pass,
+    and with fp32 inputs it instead breaks the elementwise fusion chain
+    (measured −19% on the JiT-S 64² fp32 chained train step, 2026-08-20 —
+    the whole r3→r4 jit_s bench regression)."""
+    import vision_pt_tpu.models.jit.denoiser as dn
+
+    calls = []
+    real = dn._rms_rope
+
+    def counting(x, norm, freqs):
+        calls.append(x.dtype)
+        return real(x, norm, freqs)
+
+    monkeypatch.setattr(dn, "_rms_rope", counting)
+
+    dim, heads, s, b = 128, 2, 16, 2
+    freqs = _freqs(s, dim // heads)
+
+    attn32 = Attention(dim=dim, num_heads=heads, qk_norm=True,
+                       norm_type="rms", rngs=nnx.Rngs(0))
+    x32 = jax.random.normal(jax.random.key(6), (b, s, dim), dtype=jnp.float32)
+    attn32._project_qkv(x32, freqs)
+    assert calls == [], "fp32 activations must not dispatch the fused path"
+
+    attn16 = Attention(dim=dim, num_heads=heads, qk_norm=True,
+                       norm_type="rms", dtype=jnp.bfloat16,
+                       rngs=nnx.Rngs(0))
+    x16 = x32.astype(jnp.bfloat16)
+    attn16._project_qkv(x16, freqs)
+    assert calls and all(d == jnp.bfloat16 for d in calls), (
+        "bf16 activations must dispatch the fused path"
+    )
+
+
 def test_layer_norm_qk_takes_generic_path():
     """LayerNorm q/k norms don't commute with the rotation; the module must
     fall back to norm-then-rotate and still be correct."""

@@ -347,20 +347,31 @@ class Attention(nnx.Module):
         q = self._split_heads(self.to_q(hidden_states))
         k = self._split_heads(self.to_k(hidden_states))
         v = self._split_heads(self.to_v(hidden_states))
-        if isinstance(self.q_norm, FP32RMSNorm) and isinstance(
-            self.k_norm, FP32RMSNorm
+        if (
+            isinstance(self.q_norm, FP32RMSNorm)
+            and isinstance(self.k_norm, FP32RMSNorm)
+            and q.dtype != jnp.float32
         ):
             # fused RMSNorm+RoPE: rope((x/rms)·g) == rope(x·g)·(1/rms).
             # The RMS division is a per-row SCALAR and RoPE is linear, so it
             # commutes through the rotation; the gain is per-channel and
-            # stays before it. This removes the fp32 normalize pass on the
-            # (B,S,H,D) tensors — the mean-of-squares reduce becomes an MXU
-            # matvec and the two multiplies fuse into RoPE's elementwise
-            # chain. Measured on the JiT-B/16 256² headline step (v5e,
-            # 2026-08-19): 133.0 → 122.0 ms (+9%, 485 → 525 img/s); the
-            # plain q_norm/k_norm modules cost ~23 ms of that step
+            # stays before it. This removes the fp32 upcast+normalize pass
+            # on the (B,S,H,D) tensors — the mean-of-squares reduce becomes
+            # an MXU matvec and the two multiplies fuse into RoPE's
+            # elementwise chain. Measured on the JiT-B/16 256² headline step
+            # (v5e, 2026-08-19): 133.0 → 122.0 ms (+9%, 485 → 525 img/s);
+            # the plain q_norm/k_norm modules cost ~23 ms of that step
             # (ablation: the per-head fp32 RMS norms alone, not the block
             # norms, dominated the non-attention share).
+            #
+            # fp32 activations take the plain path: the fusion's entire win
+            # is eliminating the upcast pass, and with fp32 inputs there is
+            # nothing to eliminate — the standalone fp32 einsum reduce plus
+            # the post-RoPE multiply instead BREAK the norm→rope elementwise
+            # fusion. Measured A/B on the JiT-S 64² fp32 chained train step
+            # (v5e, 2026-08-20, same session): fused 4124.7 vs plain 5115.9
+            # img/s (−19%) — this was the entire r3→r4 jit_s_64_fp32_train
+            # bench regression (5105.7 → 3980.5).
             q = _rms_rope(q, self.q_norm, rope_freqs)
             k = _rms_rope(k, self.k_norm, rope_freqs)
         else:
